@@ -1,38 +1,67 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship lint-verdict pipeline at sf0.001;
+``queries()``/``oracle_sql()`` expose each implemented operator from
+SURVEY.md §2 with a DuckDB oracle twin.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from serbian_osm_lint_spark.plans import lint_pipeline  # noqa: E402
+from serbian_osm_lint_spark.operators import report  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full lint verdict table at sf0.001."""
+    return lint_pipeline.build_verdicts(spark, "/root/testdata/sf0.001")
+
+
+def _q_lint_verdicts(spark, sf_dir):
+    return lint_pipeline.build_verdicts(spark, sf_dir)
+
+
+def _q_report_per_map(spark, sf_dir):
+    return report.per_map_report_df(lint_pipeline.build_verdicts(spark, sf_dir))
+
+
+def _q_report_summary(spark, sf_dir):
+    return report.summary_report_df(lint_pipeline.build_verdicts(spark, sf_dir))
+
+
+def _q_report_per_check(spark, sf_dir):
+    return report.per_check_report_df(spark, lint_pipeline.build_verdicts(spark, sf_dir))
+
+
+def _q_merged_verdicts(spark, sf_dir):
+    return report.merge_first_wins_df(lint_pipeline.build_verdicts(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "lint_verdicts": _q_lint_verdicts,
+        "report_per_map": _q_report_per_map,
+        "report_summary": _q_report_summary,
+        "report_per_check": _q_report_per_check,
+        "merged_verdicts": _q_merged_verdicts,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    v = lint_pipeline.sql_verdicts()
+    return {
+        "lint_verdicts": v,
+        "report_per_map": report.sql_per_map_report(v),
+        "report_summary": report.sql_summary_report(v),
+        "report_per_check": report.sql_per_check_report(v),
+        "merged_verdicts": report.sql_merge_first_wins(v),
+    }

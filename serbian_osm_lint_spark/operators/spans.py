@@ -1,0 +1,76 @@
+# -*- coding: utf-8 -*-
+"""Span codec: interleaved document ↔ entity attribute projections.
+
+The engine's only structural invariant on its input is the span sequence
+``(kind, text, media_ref, order)`` (BASELINE.json ``input_hint``). Every
+downstream operator works on *projections* of the spans — a
+``map<string,string>`` of tags, a (lat, lon) pair, an array of media refs
+— never mutating the spans themselves, so span-sequence equality holds by
+construction (asserted in tests/test_spans_invariant.py).
+
+Equivalent of reference entity normalization ``src/osm_lint_entity.py:14-58``
+(tags dict + lat/lon floats), done as pure Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+
+def with_entity_projection(docs):
+    """Project tags/geom/media out of ``spans`` (no shuffle, codegen only).
+
+    Adds columns:
+      * ``tags``: map<string,string> from spans of kind 'tag' whose text is
+        ``key=value`` (split at the FIRST '=', values may contain '=');
+      * ``lat``, ``lon``: doubles from the first 'geom' span (``"lat,lon"``);
+      * ``media_refs``: array<string> from 'media' spans (span order kept);
+      * ``osm_id``: the numeric part of ``doc_id`` (reference entity id).
+    """
+    from pyspark.sql import functions as F
+
+    spans = F.array_sort(
+        F.col("spans"),
+        lambda a, b: a["offset"] - b["offset"],
+    )
+    tag_entries = F.transform(
+        F.filter(spans, lambda s: s["kind"] == "tag"),
+        lambda s: F.struct(
+            F.split_part(s["text"], F.lit("="), F.lit(1)).alias("key"),
+            # everything after the first '=' (value may itself contain '=')
+            F.substring(
+                s["text"], F.length(F.split_part(s["text"], F.lit("="), F.lit(1))) + 2, 1000000
+            ).alias("value"),
+        ),
+    )
+    geom_text = F.try_element_at(F.filter(spans, lambda s: s["kind"] == "geom"), F.lit(1))["text"]
+    return (
+        docs.withColumn("tags", F.map_from_entries(tag_entries))
+        .withColumn("lat", F.split_part(geom_text, F.lit(","), F.lit(1)).cast("double"))
+        .withColumn("lon", F.split_part(geom_text, F.lit(","), F.lit(2)).cast("double"))
+        .withColumn(
+            "media_refs",
+            F.transform(F.filter(spans, lambda s: s["kind"] == "media"), lambda s: s["media_ref"]),
+        )
+        .withColumn("osm_id", F.substring(F.col("doc_id"), 2, 1000000))
+    )
+
+
+def canonical_spans(docs):
+    """Spans normalized to a comparable form: sorted by offset, projected to
+    the invariant tuple (kind, text, media_ref, order-index). Used by the
+    span-sequence-equality tests and by sinks that must prove they did not
+    reorder or drop spans."""
+    from pyspark.sql import functions as F
+
+    spans = F.array_sort(F.col("spans"), lambda a, b: a["offset"] - b["offset"])
+    return docs.select(
+        "doc_id",
+        F.transform(
+            spans,
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                i.alias("order"),
+            ),
+        ).alias("span_seq"),
+    )
