@@ -1,0 +1,261 @@
+# -*- coding: utf-8 -*-
+"""The 10 SPARQL queries re-expressed as DataFrame pipelines (SURVEY §2.9).
+
+The reference ships 10 ``.sparql`` files evaluated remotely at Sophox;
+each is filter-chain + scalar binds + a ``wikibase:around`` radius gate +
+suggestion columns, and every returned row is a finding
+(``GenericSophoxCheck``, reference ``src/checks.py:701-717``). Here each
+becomes a pure Catalyst pipeline over the doc table: tag-presence
+filters, the regex classes, the lat2cyr/cyr2lat/romanize REPLACE chains,
+and the radius gate as native haversine column math (J1) — the moral
+equivalent of the reference's remote predicate pushdown is Catalyst
+pushing these filters into the parquet/Iceberg scan.
+
+Output shape per pipeline (the Sophox SELECT): ``doc_id, name, lat, lon,
+tag_1, val_1, message`` where ``message = check_description.format(name)``
+(reference ``src/checks.py:715-717``).
+
+Radius-gate centers: the reference WKT literals are ``Point(lon lat)``
+(true WKT axis order; the reference's entity parser swaps them —
+``src/osm_lint_entity.py:44-49`` — we pin the geographically-correct
+convention and document it here).
+"""
+
+from __future__ import annotations
+
+from ..functions.geo import haversine_km_col, sql_haversine_km
+from ..functions.translit import (
+    cyr2lat_col,
+    english_name_col,
+    has_cyrillic_col,
+    lat2cyr_col,
+    latin_name_col,
+    romanize_col,
+    sql_cyr2lat,
+    sql_english_name,
+    sql_has_cyrillic,
+    sql_lat2cyr,
+    sql_latin_name,
+    sql_romanize,
+)
+from .spans import with_entity_projection
+
+#: (query, center_lat, center_lon, radius_km) — from the wikibase:around
+#: blocks of each .sparql file (e.g. adding_namesr_north.sparql:42-44).
+REGION_CIRCLES = {
+    "adding_name": (44.04751, 21.00403, 250.0),
+    "changing_namesr_to_cyrillic": (44.04751, 21.00403, 250.0),
+    "adding_int_name": (44.04751, 21.00403, 250.0),
+    "adding_namesr_north": (45.62738, 19.86459, 57.0),
+    "adding_namesr_central": (44.5576, 20.4244, 90.0),
+    "adding_namesr_west": (43.70735, 20.29740, 70.0),
+    "adding_namesr_east": (43.19011, 22.02201, 65.0),
+    "adding_namesr_south": (42.57887, 22.10607, 31.0),
+    "checking_namesr_latn_north": (45.0784, 20.0560, 150.0),
+    "checking_namesr_latn_south": (43.5622, 21.0424, 130.0),
+}
+
+DESC_ADDING_NAME = "Entity {0} is missing name tag"
+DESC_CHANGING = "Entity {0} is not having cyrillic name:sr tag"
+DESC_ADDING_NAMESR = "Entity {0} is missing name:sr tag"
+DESC_CHECKING_LATN = (
+    "Entity {0} is missing name:sr-Latn tag or having name:sr-Latn tag "
+    "that is not consistent with name:sr tag"
+)
+DESC_INT_NAME = "Entity {0} could be better searchable with int_name"
+
+
+def _prep(docs):
+    from pyspark.sql import functions as F
+
+    ent = with_entity_projection(docs)
+    t = lambda key: F.element_at(F.col("tags"), key)  # noqa: E731
+    return ent.select(
+        "doc_id",
+        t("name").alias("name"),
+        t("name:sr").alias("name_sr"),
+        t("name:sr-Latn").alias("name_sr_latn"),
+        t("int_name").alias("int_name"),
+        F.map_contains_key(F.col("tags"), "place").alias("has_place"),
+        F.map_contains_key(F.col("tags"), "highway").alias("has_highway"),
+        "lat",
+        "lon",
+    )
+
+
+def _within(query_name):
+    from pyspark.sql import functions as F
+
+    clat, clon, r = REGION_CIRCLES[query_name]
+    return haversine_km_col(F.col("lat"), F.col("lon"), F.lit(clat), F.lit(clon)) <= r
+
+
+def _out(df, name_col, tag_1, val_1, description):
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "doc_id",
+        name_col.alias("name"),
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        F.lit(tag_1).alias("tag_1"),
+        val_1.alias("val_1"),
+        F.format_string(description.replace("{0}", "%s"), name_col).alias("message"),
+    )
+
+
+def adding_name_df(spark, docs):
+    """sparql/adding_name.sparql:2-17 — suggest ``name = name:sr``."""
+    from pyspark.sql import functions as F
+
+    p = _prep(docs)
+    p = p.filter(
+        F.col("name_sr").isNotNull()
+        & F.col("name").isNull()
+        & (F.col("has_place") | F.col("has_highway"))
+        & _within("adding_name")
+    )
+    return _out(p, F.col("name_sr"), "name", F.col("name_sr"), DESC_ADDING_NAME)
+
+
+def changing_namesr_to_cyrillic_df(spark, docs):
+    """sparql/changing_namesr_to_cyrillic.sparql:2-41 — cyrillize name:sr."""
+    from pyspark.sql import functions as F
+
+    p = _prep(docs)
+    p = p.filter(
+        F.col("name_sr").isNotNull()
+        & (F.col("has_place") | F.col("has_highway"))
+        & latin_name_col(F.col("name_sr"))
+        & _within("changing_namesr_to_cyrillic")
+    )
+    return _out(p, F.col("name_sr"), "name:sr", lat2cyr_col(F.col("name_sr")), DESC_CHANGING)
+
+
+def adding_namesr_df(spark, docs, region: str):
+    """sparql/adding_namesr_{region}.sparql — suggest ``name:sr = lat2cyr(name)``
+    for Latin-named highways inside the regional circle."""
+    from pyspark.sql import functions as F
+
+    p = _prep(docs)
+    p = p.filter(
+        F.col("name").isNotNull()
+        & F.col("has_highway")
+        & latin_name_col(F.col("name"))
+        & ~english_name_col(F.col("name"))
+        & _within(f"adding_namesr_{region}")
+    )
+    return _out(p, F.col("name"), "name:sr", lat2cyr_col(F.col("name")), DESC_ADDING_NAMESR)
+
+
+def checking_namesr_latn_df(spark, docs, region: str):
+    """sparql/checking_namesr-latn_{north,south}.sparql — bind
+    ``correct = cyr2lat(name:sr)``; keep if (latn exists ∧ ≠ correct) ∨
+    (¬exists ∧ name is Cyrillic) (filter at ``:37-42``)."""
+    from pyspark.sql import functions as F
+
+    p = _prep(docs)
+    correct = cyr2lat_col(F.col("name_sr"))
+    latn_exists = F.col("name_sr_latn").isNotNull()
+    p = p.filter(
+        F.col("name").isNotNull()
+        & F.col("name_sr").isNotNull()
+        & _within(f"checking_namesr_latn_{region}")
+        & (
+            (latn_exists & (correct != F.col("name_sr_latn")))
+            | (~latn_exists & has_cyrillic_col(F.col("name")))
+        )
+    )
+    return _out(p, F.col("name"), "name:sr-Latn", correct, DESC_CHECKING_LATN)
+
+
+def adding_int_name_df(spark, docs):
+    """sparql/adding_int_name.sparql:2-26 — romanized int_name for đ names.
+
+    Note the reference's ``:19-20`` NOT-EXISTS + OR filter makes the
+    "existing ≠ corrected" branch unreachable — only missing-int_name rows
+    survive; we replicate the observable behavior.
+    """
+    from pyspark.sql import functions as F
+
+    p = _prep(docs)
+    p = p.filter(
+        F.col("name_sr_latn").isNotNull()
+        & F.col("name_sr_latn").rlike("[đĐ]")
+        & F.col("int_name").isNull()
+        & _within("adding_int_name")
+    )
+    return _out(
+        p, F.col("name_sr_latn"), "int_name", romanize_col(F.col("name_sr_latn")), DESC_INT_NAME
+    )
+
+
+ALL_PIPELINES = {
+    "adding_name": adding_name_df,
+    "changing_namesr_to_cyrillic": changing_namesr_to_cyrillic_df,
+    "adding_namesr_north": lambda s, d: adding_namesr_df(s, d, "north"),
+    "adding_namesr_central": lambda s, d: adding_namesr_df(s, d, "central"),
+    "adding_namesr_west": lambda s, d: adding_namesr_df(s, d, "west"),
+    "adding_namesr_east": lambda s, d: adding_namesr_df(s, d, "east"),
+    "adding_namesr_south": lambda s, d: adding_namesr_df(s, d, "south"),
+    "checking_namesr_latn_north": lambda s, d: checking_namesr_latn_df(s, d, "north"),
+    "checking_namesr_latn_south": lambda s, d: checking_namesr_latn_df(s, d, "south"),
+    "adding_int_name": adding_int_name_df,
+}
+
+
+# ---------------------------------------------------------------------- sql
+def _sql_within(query_name: str) -> str:
+    clat, clon, r = REGION_CIRCLES[query_name]
+    return f"({sql_haversine_km('d.lat', 'd.lon', str(clat), str(clon))} <= {r})"
+
+
+def _sql_out(where: str, name_expr: str, tag_1: str, val_1: str, description: str) -> str:
+    msg = description.replace("'", "''").replace("{0}", "%s")
+    return (
+        f"SELECT d.doc_id, {name_expr} AS name, round(d.lat, 6) AS lat, "
+        f"round(d.lon, 6) AS lon, '{tag_1}' AS tag_1, {val_1} AS val_1, "
+        f"printf('{msg}', {name_expr}) AS message "
+        f"FROM base d WHERE {where}"
+    )
+
+
+def sql_pipeline(docs_sql: str, name: str) -> str:
+    """DuckDB twin of :data:`ALL_PIPELINES`[name]."""
+    has_pl = "(d.place IS NOT NULL)"
+    has_hw = "(d.highway IS NOT NULL)"
+    if name == "adding_name":
+        body = _sql_out(
+            f"d.name_sr IS NOT NULL AND d.name IS NULL AND ({has_pl} OR {has_hw}) "
+            f"AND {_sql_within(name)}",
+            "d.name_sr", "name", "d.name_sr", DESC_ADDING_NAME,
+        )
+    elif name == "changing_namesr_to_cyrillic":
+        body = _sql_out(
+            f"d.name_sr IS NOT NULL AND ({has_pl} OR {has_hw}) "
+            f"AND {sql_latin_name('d.name_sr')} AND {_sql_within(name)}",
+            "d.name_sr", "name:sr", sql_lat2cyr("d.name_sr"), DESC_CHANGING,
+        )
+    elif name.startswith("adding_namesr_"):
+        body = _sql_out(
+            f"d.name IS NOT NULL AND {has_hw} AND {sql_latin_name('d.name')} "
+            f"AND NOT {sql_english_name('d.name')} AND {_sql_within(name)}",
+            "d.name", "name:sr", sql_lat2cyr("d.name"), DESC_ADDING_NAMESR,
+        )
+    elif name.startswith("checking_namesr_latn_"):
+        correct = sql_cyr2lat("d.name_sr")
+        body = _sql_out(
+            f"d.name IS NOT NULL AND d.name_sr IS NOT NULL AND {_sql_within(name)} "
+            f"AND ((d.name_sr_latn IS NOT NULL AND {correct} <> d.name_sr_latn) "
+            f"OR (d.name_sr_latn IS NULL AND {sql_has_cyrillic('d.name')}))",
+            "d.name", "name:sr-Latn", correct, DESC_CHECKING_LATN,
+        )
+    elif name == "adding_int_name":
+        body = _sql_out(
+            f"d.name_sr_latn IS NOT NULL AND regexp_matches(d.name_sr_latn, '[đĐ]') "
+            f"AND d.int_name IS NULL AND {_sql_within(name)}",
+            "d.name_sr_latn", "int_name", sql_romanize("d.name_sr_latn"), DESC_INT_NAME,
+        )
+    else:
+        raise KeyError(name)
+    return f"WITH base AS ({docs_sql}) {body}"

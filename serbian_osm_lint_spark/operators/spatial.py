@@ -1,0 +1,343 @@
+# -*- coding: utf-8 -*-
+"""Spatial core: point-in-polygon, grid cells, kNN dup names, tiling, skew.
+
+North-rule operators with no direct reference analogue (the reference
+*approximates* containment via the ``is_in:country`` tag —
+``src/checks.py:220-221`` — and remote radius circles):
+
+* J2 — broadcast point-in-polygon vs the (toy) Serbia admin boundary:
+  a driver-computed cell-cover classifies every grid cell as
+  INSIDE/OUTSIDE/BOUNDARY; fully-classified cells are answered by a
+  broadcast-joined lookup (pure Catalyst), only boundary-cell rows run
+  exact ray-casting in a vectorized numpy pandas UDF. At 10^12 docs the
+  UDF touches only the O(perimeter) fraction of rows.
+* J8 — kNN duplicate-name detection: equi-join on (neighbor-ring cell id,
+  name) — explode of 9 cells on the left side keeps it a shuffle-stable
+  equi-join instead of a theta join; ranked by great-circle distance.
+* J9 — raster-tile ↔ vector-entity assignment: pure slippy-map column
+  math then an equi-join-able tile key.
+* A4 — salted two-phase cell aggregation for urban-cell skew: stage 1
+  ``groupBy(cell, salt)`` partial, stage 2 ``groupBy(cell)`` final; salt
+  is derived from ``doc_id`` hash (deterministic — resume-safe).
+
+Every operator has a DuckDB SQL twin generated from the same polygon /
+zoom constants (independent implementation, shared spec).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from ..functions import geo
+from ..functions.geo import (
+    CELL_ZOOM,
+    TILE_ZOOM,
+    cell_id_col,
+    haversine_km_col,
+    sql_cell_id,
+    sql_haversine_km,
+    sql_tile_x,
+    sql_tile_y,
+    tile_x_col,
+    tile_y_col,
+)
+from .spans import with_entity_projection
+
+#: toy "Serbia" admin boundary: one concave outer ring + one hole,
+#: (lat, lon) vertices. Stands in for the real admin polygon; the PIP
+#: machinery is shape-agnostic.
+SERBIA_RING = [
+    (46.1, 19.1), (46.2, 20.3), (45.6, 21.5), (44.9, 22.7), (43.7, 23.0),
+    (42.4, 22.6), (42.2, 21.6), (42.1, 20.6), (43.1, 19.2), (44.0, 19.4),
+    (44.9, 18.8), (45.4, 19.0),
+]
+SERBIA_HOLES = [
+    [(43.4, 20.6), (43.4, 21.0), (43.8, 21.0), (43.8, 20.6)],
+]
+
+
+def _edges():
+    """All polygon edges (outer ring + holes) as (y1, x1, y2, x2)."""
+    out = []
+    for ring in [SERBIA_RING] + SERBIA_HOLES:
+        n = len(ring)
+        for i in range(n):
+            (y1, x1), (y2, x2) = ring[i], ring[(i + 1) % n]
+            out.append((y1, x1, y2, x2))
+    return out
+
+
+EDGES = _edges()
+
+
+# ----------------------------------------------------------------- python
+def point_in_polygon_py(lat: float, lon: float) -> bool:
+    """Ray-casting parity over all edges (holes included ⇒ XOR for free)."""
+    inside = False
+    for y1, x1, y2, x2 in EDGES:
+        if (y1 > lat) != (y2 > lat) and lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1:
+            inside = not inside
+    return inside
+
+
+def _segment_intersects_rect(y1, x1, y2, x2, ymin, ymax, xmin, xmax) -> bool:
+    """Conservative segment-vs-rect test (bbox overlap + separating line)."""
+    if max(y1, y2) < ymin or min(y1, y2) > ymax or max(x1, x2) < xmin or min(x1, x2) > xmax:
+        return False
+    # if all four rect corners are strictly on one side of the segment line,
+    # no intersection; otherwise assume intersection (conservative).
+    d = [
+        (x2 - x1) * (cy - y1) - (y2 - y1) * (cx - x1)
+        for cy, cx in ((ymin, xmin), (ymin, xmax), (ymax, xmin), (ymax, xmax))
+    ]
+    return not (all(v > 0 for v in d) or all(v < 0 for v in d))
+
+
+def cell_cover(zoom: int = CELL_ZOOM):
+    """Classify every grid cell overlapping the polygon bbox.
+
+    Returns {cell_id: 'IN' | 'BOUNDARY'}; absent cells are OUT. A cell is
+    BOUNDARY iff any polygon edge intersects it; else IN/OUT by its
+    center point. Driver-side, O(bbox-cells × edges) — tiny at z12.
+    """
+    lats = [p[0] for p in SERBIA_RING]
+    lons = [p[1] for p in SERBIA_RING]
+    x0, y1_ = geo.tile_xy_py(max(lats), min(lons), zoom)  # y grows south
+    x1_, y0 = geo.tile_xy_py(min(lats), max(lons), zoom)
+    n = 1 << zoom
+    cover = {}
+
+    def tile_bounds(x, y):
+        lon_min = x / n * 360.0 - 180.0
+        lon_max = (x + 1) / n * 360.0 - 180.0
+        lat_max = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y / n))))
+        lat_min = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (y + 1) / n))))
+        return lat_min, lat_max, lon_min, lon_max
+
+    for x in range(x0, x1_ + 1):
+        for y in range(y1_, y0 + 1):
+            ymin, ymax, xmin, xmax = tile_bounds(x, y)
+            if any(
+                _segment_intersects_rect(a, b, c, d, ymin, ymax, xmin, xmax)
+                for a, b, c, d in EDGES
+            ):
+                cover[(x << zoom) | y] = "BOUNDARY"
+            elif point_in_polygon_py((ymin + ymax) / 2, (xmin + xmax) / 2):
+                cover[(x << zoom) | y] = "IN"
+    return cover
+
+
+# ------------------------------------------------------------------ spark
+def _pip_pandas_udf():
+    """Vectorized exact ray-cast over the broadcast edge list (numpy)."""
+    from pyspark.sql import functions as F
+
+    edges = np.array(EDGES)  # closes over module constant; small, re-pickled per task is fine
+
+    @F.pandas_udf("boolean")
+    def pip(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        la = lat.to_numpy(dtype=np.float64)[:, None]
+        lo = lon.to_numpy(dtype=np.float64)[:, None]
+        y1, x1, y2, x2 = edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]
+        crosses = ((y1 > la) != (y2 > la)) & (
+            lo < (x2 - x1) * (la - y1) / np.where(y2 == y1, np.inf, y2 - y1) + x1
+        )
+        return pd.Series(crosses.sum(axis=1) % 2 == 1)
+
+    return pip
+
+
+def point_in_serbia_df(spark, docs, zoom: int = CELL_ZOOM):
+    """J2: ``(doc_id, in_serbia)`` via cover prefilter + exact PIP on
+    boundary cells only. Invariant (tested): ≡ exact PIP on every row."""
+    from pyspark.sql import functions as F
+
+    ent = with_entity_projection(docs).select("doc_id", "lat", "lon")
+    cover = cell_cover(zoom)
+    cover_df = F.broadcast(
+        spark.createDataFrame(
+            [(cid, status) for cid, status in cover.items()], "cell_id long, status string"
+        )
+    )
+    ent = ent.withColumn("cell_id", cell_id_col(F.col("lat"), F.col("lon"), zoom))
+    ent = ent.join(cover_df, "cell_id", "left")
+    pip = _pip_pandas_udf()
+    return ent.select(
+        "doc_id",
+        F.when(F.col("status") == "IN", F.lit(True))
+        .when(F.col("status").isNull(), F.lit(False))
+        .otherwise(pip(F.col("lat"), F.col("lon")))
+        .alias("in_serbia"),
+    )
+
+
+def point_in_serbia_exact_df(spark, docs):
+    """Exact-PIP-everywhere twin (test oracle for the prefiltered path)."""
+    from pyspark.sql import functions as F
+
+    ent = with_entity_projection(docs).select("doc_id", "lat", "lon")
+    pip = _pip_pandas_udf()
+    return ent.select("doc_id", pip(F.col("lat"), F.col("lon")).alias("in_serbia"))
+
+
+def cell_encode_df(spark, docs, zoom: int = CELL_ZOOM):
+    """Grid-cell encoding of every doc centroid (the H3/S2 stand-in)."""
+    from pyspark.sql import functions as F
+
+    ent = with_entity_projection(docs)
+    return ent.select(
+        "doc_id",
+        tile_x_col(F.col("lon"), zoom).alias("cell_x"),
+        tile_y_col(F.col("lat"), zoom).alias("cell_y"),
+        cell_id_col(F.col("lat"), F.col("lon"), zoom).alias("cell_id"),
+    )
+
+
+def knn_dup_names_df(spark, docs, k: int = 5, zoom: int = CELL_ZOOM):
+    """J8: same-name entity pairs within the 3×3 neighbor cell ring,
+    ranked by distance (top-k per left entity).
+
+    Plan shape: explode(9 neighbor cells) on the left → shuffle equi-join
+    on (cell_id, name) → window top-k. Name+cell is well-distributed;
+    urban-cell skew is bounded by the ring constant and AQE skew split.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ent = with_entity_projection(docs)
+    pts = ent.select(
+        "doc_id",
+        F.element_at(F.col("tags"), "name").alias("name"),
+        "lat",
+        "lon",
+        tile_x_col(F.col("lon"), zoom).alias("cx"),
+        tile_y_col(F.col("lat"), zoom).alias("cy"),
+    ).filter(F.coalesce(F.col("name"), F.lit("")) != "")
+    left = pts.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("name"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(geo.neighbor_cells_col(F.col("cx"), F.col("cy"), zoom)).alias("cell_id"),
+    )
+    right = pts.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("name"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        (F.shiftleft(F.col("cx"), zoom) + F.col("cy")).alias("cell_id"),
+    )
+    pairs = left.join(right, ["cell_id", "name"]).filter(F.col("doc_id_a") < F.col("doc_id_b"))
+    dist = F.round(
+        haversine_km_col(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")), 6
+    )
+    w = Window.partitionBy("doc_id_a").orderBy(F.col("dist_km"), F.col("doc_id_b"))
+    return (
+        pairs.select("doc_id_a", "doc_id_b", "name", dist.alias("dist_km"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def tile_assignment_df(spark, docs, zoom: int = TILE_ZOOM):
+    """J9: assign each media span to the slippy tile containing the doc's
+    point — pure projection; the tile key is equi-join-ready."""
+    from pyspark.sql import functions as F
+
+    ent = with_entity_projection(docs)
+    x, y = tile_x_col(F.col("lon"), zoom), tile_y_col(F.col("lat"), zoom)
+    return ent.select(
+        "doc_id",
+        F.explode(F.col("media_refs")).alias("media_ref"),
+        F.lit(zoom).alias("z"),
+        x.alias("x"),
+        y.alias("y"),
+        F.format_string(f"%d/%d/%d", F.lit(zoom), x, y).alias("tile_id"),
+    )
+
+
+def cell_counts_salted_df(spark, docs, zoom: int = CELL_ZOOM, salt_buckets: int = 16):
+    """A4: skew-safe per-cell doc counts via salted two-phase aggregation.
+
+    Stage 1 shuffles on (cell_id, salt) — the Belgrade hot cell splits
+    into ``salt_buckets`` partial groups — stage 2 on cell_id combines
+    tiny partials. Salt = hash(doc_id) mod buckets: deterministic.
+    """
+    from pyspark.sql import functions as F
+
+    ent = with_entity_projection(docs)
+    cells = ent.select(
+        cell_id_col(F.col("lat"), F.col("lon"), zoom).alias("cell_id"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)).alias("salt"),
+    )
+    partial = cells.groupBy("cell_id", "salt").agg(F.count("*").alias("partial_n"))
+    return partial.groupBy("cell_id").agg(F.sum("partial_n").alias("n_docs"))
+
+
+# -------------------------------------------------------------------- sql
+def sql_point_in_serbia(docs_sql: str) -> str:
+    """Oracle twin of J2: the ray-cast parity unrolled to one CASE term
+    per polygon edge (generated from the same vertex constants)."""
+    terms = []
+    for y1, x1, y2, x2 in EDGES:
+        terms.append(
+            f"(CASE WHEN (({y1} > d.lat) <> ({y2} > d.lat)) AND "
+            f"d.lon < ({x2} - {x1}) * (d.lat - {y1}) / ({y2} - {y1}) + {x1} "
+            f"THEN 1 ELSE 0 END)"
+        )
+    parity = " + ".join(terms)
+    return (
+        f"SELECT d.doc_id, (({parity}) % 2 = 1) AS in_serbia "
+        f"FROM ({docs_sql}) d"
+    )
+
+
+def sql_cell_encode(docs_sql: str, zoom: int = CELL_ZOOM) -> str:
+    return (
+        f"SELECT d.doc_id, {sql_tile_x('d.lon', zoom)} AS cell_x, "
+        f"{sql_tile_y('d.lat', zoom)} AS cell_y, "
+        f"{sql_cell_id('d.lat', 'd.lon', zoom)} AS cell_id "
+        f"FROM ({docs_sql}) d"
+    )
+
+
+def sql_knn_dup_names(docs_sql: str, k: int = 5, zoom: int = CELL_ZOOM) -> str:
+    dist = sql_haversine_km("a.lat", "a.lon", "b.lat", "b.lon")
+    return f"""
+    WITH pts AS (
+      SELECT doc_id, name, lat, lon,
+             {sql_tile_x('lon', zoom)} AS cx, {sql_tile_y('lat', zoom)} AS cy
+      FROM ({docs_sql}) WHERE coalesce(name, '') <> ''
+    ), pairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.name,
+             round({dist}, 6) AS dist_km
+      FROM pts a JOIN pts b
+        ON a.name = b.name AND a.doc_id < b.doc_id
+       AND abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+    )
+    SELECT doc_id_a, doc_id_b, name, dist_km, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id_a ORDER BY dist_km, doc_id_b) AS rank
+      FROM pairs
+    ) WHERE rank <= {k}
+    """
+
+
+def sql_tile_assignment(docs_sql: str, zoom: int = TILE_ZOOM) -> str:
+    x, y = sql_tile_x("d.lon", zoom), sql_tile_y("d.lat", zoom)
+    return (
+        f"SELECT d.doc_id, d.media_ref, {zoom} AS z, {x} AS x, {y} AS y, "
+        f"printf('%d/%d/%d', {zoom}, {x}, {y}) AS tile_id "
+        f"FROM ({docs_sql}) d"
+    )
+
+
+def sql_cell_counts(docs_sql: str, zoom: int = CELL_ZOOM) -> str:
+    """Plain GROUP BY twin — equality with the salted two-phase path is
+    exactly what proves A4 correct."""
+    return (
+        f"SELECT {sql_cell_id('d.lat', 'd.lon', zoom)} AS cell_id, "
+        f"count(*) AS n_docs FROM ({docs_sql}) d GROUP BY 1"
+    )

@@ -49,7 +49,8 @@ TAG_KEYS = [
 
 # geometry grid (decimal degrees): 30% of entities land in a dense
 # "Belgrade" hot cell, the rest spread over a Serbia-sized bbox.
-HOT_LAT0, HOT_LON0 = 44.75, 20.40
+HOT_LAT0, HOT_LON0 = 44.75, 20.40     # "Belgrade" hot cell (30% of rows)
+HOT2_LAT0, HOT2_LON0 = 45.20, 19.80    # "Novi Sad" hot cell (20% of rows)
 BG_LAT0, BG_LON0 = 41.8, 18.3
 PRIME_LAT, PRIME_LON = 7919, 104729
 
@@ -61,17 +62,20 @@ def scalar_tags_py(k: int) -> dict:
     cyr, lat_, intn = CYR_NAMES[i], LAT_NAMES[i], INT_NAMES[i]
     place = PLACES[k % 6] if k % 6 < 5 else None
     name = [None, "", lat_][k % 7] if k % 7 < 3 else cyr
-    name_sr = None if k % 4 == 0 else cyr
+    name_sr = [None, lat_][k % 4] if k % 4 < 2 else cyr
     name_sr_latn = [None, "", lat_, lat_ + "X", cyr][k % 5]
     is_in = {0: "Montenegro", 1: "Serbia", 2: "Serbia"}.get(k % 9)
     title = f"{cyr} {k}"
     wikipedia = {0: f"sr:{title}", 1: f"en:{lat_} {k}", 2: f"sr:{cyr} Х{k}"}.get(k % 8)
     wikidata = {0: f"Q{2 * k + 1}", 1: f"Q{2 * k}"}.get(k % 10)
-    highway = "residential" if k % 12 == 0 else None
+    highway = "residential" if (k % 12 == 0 or k % 3 == 1) else None
     int_name = {0: intn, 1: lat_ + "Y"}.get(k % 15)
     if k % 10 < 3:
         lat = HOT_LAT0 + ((k * PRIME_LAT) % 100) / 1000.0
         lon = HOT_LON0 + ((k * PRIME_LON) % 100) / 1000.0
+    elif k % 10 < 5:
+        lat = HOT2_LAT0 + ((k * PRIME_LAT) % 100) / 1000.0
+        lon = HOT2_LON0 + ((k * PRIME_LON) % 100) / 1000.0
     else:
         lat = BG_LAT0 + ((k * PRIME_LAT) % 4400) / 1000.0
         lon = BG_LON0 + ((k * PRIME_LON) % 4700) / 1000.0
@@ -121,11 +125,16 @@ def scalar_tags_df(spark, sf_dir: str):
     title = F.concat(cyr, F.lit(" "), k.cast("string"))
 
     hot = (k % 10) < 3
-    lat = F.when(hot, F.lit(HOT_LAT0) + ((k * PRIME_LAT) % 100) / F.lit(1000.0)).otherwise(
-        F.lit(BG_LAT0) + ((k * PRIME_LAT) % 4400) / F.lit(1000.0)
+    hot2 = (k % 10) < 5
+    lat = (
+        F.when(hot, F.lit(HOT_LAT0) + ((k * PRIME_LAT) % 100) / F.lit(1000.0))
+        .when(hot2, F.lit(HOT2_LAT0) + ((k * PRIME_LAT) % 100) / F.lit(1000.0))
+        .otherwise(F.lit(BG_LAT0) + ((k * PRIME_LAT) % 4400) / F.lit(1000.0))
     )
-    lon = F.when(hot, F.lit(HOT_LON0) + ((k * PRIME_LON) % 100) / F.lit(1000.0)).otherwise(
-        F.lit(BG_LON0) + ((k * PRIME_LON) % 4700) / F.lit(1000.0)
+    lon = (
+        F.when(hot, F.lit(HOT_LON0) + ((k * PRIME_LON) % 100) / F.lit(1000.0))
+        .when(hot2, F.lit(HOT2_LON0) + ((k * PRIME_LON) % 100) / F.lit(1000.0))
+        .otherwise(F.lit(BG_LON0) + ((k * PRIME_LON) % 4700) / F.lit(1000.0))
     )
 
     return cust.select(
@@ -137,7 +146,10 @@ def scalar_tags_df(spark, sf_dir: str):
         .when(k % 7 == 2, lat_)
         .otherwise(cyr)
         .alias("name"),
-        F.when(k % 4 == 0, F.lit(None).cast("string")).otherwise(cyr).alias("name:sr"),
+        F.when(k % 4 == 0, F.lit(None).cast("string"))
+        .when(k % 4 == 1, lat_)
+        .otherwise(cyr)
+        .alias("name:sr"),
         F.when(k % 5 == 0, F.lit(None).cast("string"))
         .when(k % 5 == 1, F.lit(""))
         .when(k % 5 == 2, lat_)
@@ -157,7 +169,9 @@ def scalar_tags_df(spark, sf_dir: str):
         .when(k % 10 == 1, F.concat(F.lit("Q"), (k * 2).cast("string")))
         .otherwise(F.lit(None).cast("string"))
         .alias("wikidata"),
-        F.when(k % 12 == 0, F.lit("residential")).otherwise(F.lit(None).cast("string")).alias("highway"),
+        F.when((k % 12 == 0) | (k % 3 == 1), F.lit("residential"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("highway"),
         F.when(k % 15 == 0, intn)
         .when(k % 15 == 1, F.concat(lat_, F.lit("Y")))
         .otherwise(F.lit(None).cast("string"))
@@ -282,7 +296,7 @@ def sql_scalar_tags() -> str:
                    WHEN 3 THEN 'suburb' WHEN 4 THEN 'CiTy' ELSE NULL END AS place,
       CASE WHEN k % 7 = 0 THEN NULL WHEN k % 7 = 1 THEN ''
            WHEN k % 7 = 2 THEN {lat_} ELSE {cyr} END AS name,
-      CASE WHEN k % 4 = 0 THEN NULL ELSE {cyr} END AS name_sr,
+      CASE WHEN k % 4 = 0 THEN NULL WHEN k % 4 = 1 THEN {lat_} ELSE {cyr} END AS name_sr,
       CASE WHEN k % 5 = 0 THEN NULL WHEN k % 5 = 1 THEN ''
            WHEN k % 5 = 2 THEN {lat_}
            WHEN k % 5 = 3 THEN {lat_} || 'X' ELSE {cyr} END AS name_sr_latn,
@@ -295,12 +309,14 @@ def sql_scalar_tags() -> str:
       CASE WHEN k % 10 = 0 THEN 'Q' || CAST(k * 2 + 1 AS VARCHAR)
            WHEN k % 10 = 1 THEN 'Q' || CAST(k * 2 AS VARCHAR)
            ELSE NULL END AS wikidata,
-      CASE WHEN k % 12 = 0 THEN 'residential' ELSE NULL END AS highway,
+      CASE WHEN k % 12 = 0 OR k % 3 = 1 THEN 'residential' ELSE NULL END AS highway,
       CASE WHEN k % 15 = 0 THEN {intn}
            WHEN k % 15 = 1 THEN {lat_} || 'Y' ELSE NULL END AS int_name,
       CASE WHEN k % 10 < 3 THEN {HOT_LAT0} + ((k * {PRIME_LAT}) % 100) / 1000.0
+           WHEN k % 10 < 5 THEN {HOT2_LAT0} + ((k * {PRIME_LAT}) % 100) / 1000.0
            ELSE {BG_LAT0} + ((k * {PRIME_LAT}) % 4400) / 1000.0 END AS lat,
       CASE WHEN k % 10 < 3 THEN {HOT_LON0} + ((k * {PRIME_LON}) % 100) / 1000.0
+           WHEN k % 10 < 5 THEN {HOT2_LON0} + ((k * {PRIME_LON}) % 100) / 1000.0
            ELSE {BG_LON0} + ((k * {PRIME_LON}) % 4700) / 1000.0 END AS lon,
       'img/n' || CAST(k AS VARCHAR) AS media_ref
     FROM (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer)

@@ -1,0 +1,106 @@
+# -*- coding: utf-8 -*-
+"""Spatial correctness: PIP fixtures, prefilter ≡ exact invariant,
+cell-cover classification, salted agg equivalence, kNN symmetry."""
+
+import pytest
+
+from conftest import SF_SMALL, make_docs
+
+from serbian_osm_lint_spark.operators import spatial
+
+
+def test_pip_fixture_points():
+    # hand-picked: inside, outside (4 sides), in-hole, near-vertex
+    assert spatial.point_in_polygon_py(44.3, 20.5)       # central Serbia
+    assert spatial.point_in_polygon_py(45.5, 19.9)       # north
+    assert not spatial.point_in_polygon_py(47.0, 20.5)   # far north
+    assert not spatial.point_in_polygon_py(41.0, 20.5)   # far south
+    assert not spatial.point_in_polygon_py(44.0, 17.5)   # far west
+    assert not spatial.point_in_polygon_py(44.0, 24.0)   # far east
+    assert not spatial.point_in_polygon_py(43.6, 20.8)   # inside the hole
+    assert spatial.point_in_polygon_py(43.3, 20.8)       # just south of hole
+
+
+def test_cell_cover_classification():
+    cover = spatial.cell_cover()
+    assert "BOUNDARY" in cover.values() and "IN" in cover.values()
+    # an IN cell's center must be inside; spot-check all
+    import math
+
+    zoom = spatial.CELL_ZOOM
+    n = 1 << zoom
+    for cid, status in cover.items():
+        if status != "IN":
+            continue
+        x, y = cid >> zoom, cid & (n - 1)
+        lon = (x + 0.5) / n * 360.0 - 180.0
+        lat = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (y + 0.5) / n))))
+        assert spatial.point_in_polygon_py(lat, lon), (x, y)
+
+
+def test_prefilter_equals_exact(spark):
+    """The load-bearing invariant: cover-prefiltered PIP ≡ exact PIP."""
+    from serbian_osm_lint_spark import synth
+
+    docs = synth.docs_df(spark, SF_SMALL)
+    fast = {r.doc_id: r.in_serbia for r in spatial.point_in_serbia_df(spark, docs).collect()}
+    exact = {
+        r.doc_id: r.in_serbia for r in spatial.point_in_serbia_exact_df(spark, docs).collect()
+    }
+    assert fast == exact
+    assert any(fast.values()) and not all(fast.values())
+
+
+def test_boundary_points_on_polygon_edge(spark):
+    """Points straddling an edge: fast path must agree with exact path
+    even directly on boundary cells."""
+    rows = []
+    # dense probe line crossing the western edge at lat 44.5
+    for i in range(50):
+        lon = 18.7 + i * 0.02
+        rows.append((f"p{i}", {"place": "city", "name": "x"}, (44.5, round(lon, 6))))
+    docs = make_docs(spark, rows)
+    fast = {r.doc_id: r.in_serbia for r in spatial.point_in_serbia_df(spark, docs).collect()}
+    for i in range(50):
+        lon = 18.7 + i * 0.02
+        assert fast[f"p{i}"] == spatial.point_in_polygon_py(44.5, round(lon, 6))
+
+
+def test_salted_agg_equals_plain(spark):
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark import synth
+    from serbian_osm_lint_spark.functions.geo import CELL_ZOOM, cell_id_col
+    from serbian_osm_lint_spark.operators.spans import with_entity_projection
+
+    docs = synth.docs_df(spark, SF_SMALL)
+    salted = {
+        r.cell_id: r.n_docs for r in spatial.cell_counts_salted_df(spark, docs).collect()
+    }
+    plain = {
+        r.cell_id: r.n
+        for r in with_entity_projection(docs)
+        .groupBy(cell_id_col(F.col("lat"), F.col("lon"), CELL_ZOOM).alias("cell_id"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert salted == plain
+    # the skew premise: the hottest cell must dominate
+    assert max(plain.values()) >= 10 * sorted(plain.values())[len(plain) // 2]
+
+
+def test_knn_pairs_ordered_and_bounded(spark):
+    from serbian_osm_lint_spark import synth
+
+    docs = synth.docs_df(spark, SF_SMALL)
+    rows = spatial.knn_dup_names_df(spark, docs, k=5).collect()
+    assert len(rows) > 0
+    per_a = {}
+    for r in rows:
+        assert r.doc_id_a < r.doc_id_b
+        per_a.setdefault(r.doc_id_a, []).append((r.rank, r.dist_km))
+    for a, lst in per_a.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        assert all(lst[i][1] <= lst[i + 1][1] for i in range(len(lst) - 1))
+        assert len(lst) <= 5
