@@ -16,9 +16,42 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from serbian_osm_lint_spark import synth  # noqa: E402
+from serbian_osm_lint_spark.functions import text as ftext  # noqa: E402
 from serbian_osm_lint_spark.plans import lint_pipeline  # noqa: E402
 from serbian_osm_lint_spark.operators import queries as q29  # noqa: E402
-from serbian_osm_lint_spark.operators import report, spatial  # noqa: E402
+from serbian_osm_lint_spark.operators import (  # noqa: E402
+    dedup,
+    media,
+    report,
+    similarity,
+    spatial,
+)
+
+
+def _q_text_profile(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws, bpe = ftext.token_count_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ws,
+        bpe,
+        *ftext.quality_score_cols(F.col("text")),
+        ftext.lang_id_col(F.col("text")).alias("lang_guess"),
+        ftext.fingerprint_col(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _sql_text_profile():
+    ws, bpe = ftext.sql_token_counts("text")
+    quality = ftext.sql_quality_cols("text")
+    qcols = ", ".join(f"{expr} AS {name}" for name, expr in quality.items())
+    return (
+        f"SELECT doc_id, {ws} AS n_tokens_ws, {bpe} AS n_tokens_bpe, {qcols}, "
+        f"{ftext.sql_lang_id('text')} AS lang_guess, "
+        f"{ftext.sql_fingerprint('text')} AS fingerprint FROM documents"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -47,7 +80,11 @@ def _q_merged_verdicts(spark, sf_dir):
 
 
 def _docs(spark, sf_dir):
-    return synth.docs_df(spark, sf_dir)
+    """The stored doc table (materialized once; queries are plain scans —
+    the production shape, and it keeps Catalyst planning time flat)."""
+    from serbian_osm_lint_spark.sources import catalog
+
+    return catalog.docs_table(spark, sf_dir)
 
 
 def _mk_pipeline(name):
@@ -68,6 +105,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_dup_names": lambda s, d: spatial.knn_dup_names_df(s, _docs(s, d)),
         "tile_assignment": lambda s, d: spatial.tile_assignment_df(s, _docs(s, d)),
         "cell_counts_salted": lambda s, d: spatial.cell_counts_salted_df(s, _docs(s, d)),
+        # training-data pipeline: text analysis / dedup / similarity / media
+        "text_profile": _q_text_profile,
+        "dedup_exact": lambda s, d: dedup.dedup_exact_df(s, d),
+        "minhash_signatures": lambda s, d: dedup.minhash_signatures_df(s, d),
+        "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs_df(s, d),
+        "simhash": lambda s, d: dedup.simhash_df(s, d),  # rows-only (no oracle)
+        "ann_cosine_topk": lambda s, d: similarity.ann_cosine_topk_df(s, d),
+        "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk_df(s, d),
+        "media_features": lambda s, d: media.extract_media_features_df(
+            s, _docs(s, d)
+        ),  # rows-only (no oracle: mapInPandas stub decode)
     }
     for name in q29.ALL_PIPELINES:
         q[f"sparql_{name}"] = _mk_pipeline(name)
@@ -88,6 +136,12 @@ def oracle_sql() -> dict[str, str]:
         "knn_dup_names": spatial.sql_knn_dup_names(d),
         "tile_assignment": spatial.sql_tile_assignment(d),
         "cell_counts_salted": spatial.sql_cell_counts(d),
+        "text_profile": _sql_text_profile(),
+        "dedup_exact": dedup.sql_dedup_exact(),
+        "minhash_signatures": dedup.sql_minhash_signatures(),
+        "minhash_lsh_pairs": dedup.sql_minhash_lsh_pairs(),
+        "ann_cosine_topk": similarity.sql_ann_cosine_topk(),
+        "ann_lsh_topk": similarity.sql_ann_lsh_topk(),
     }
     for name in q29.ALL_PIPELINES:
         o[f"sparql_{name}"] = q29.sql_pipeline(d, name)

@@ -1,0 +1,172 @@
+# -*- coding: utf-8 -*-
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+* :func:`ann_cosine_topk_df` — brute-force cosine top-k: the exactness
+  baseline. Query set × corpus as a broadcast nested-loop join with the
+  dot product as native ``zip_with``/``aggregate`` column math (no UDF,
+  no Python). At scale the query side is small/broadcast; the corpus
+  side streams — one pass, no shuffle except the final top-k window.
+* :func:`ann_lsh_topk_df` — the scale path: random-hyperplane LSH.
+  Hyperplane weights are a deterministic LCG of (plane, dim) — no RNG —
+  so the bucket assignment is reproducible across engines and runs
+  (resume-safe). Candidates = same 8-bit sign-bucket; exact cosine
+  re-rank inside the bucket. Recall < 1 by construction; the oracle
+  replays the identical spec, so equality still holds.
+
+Float discipline: embeddings are float32; both engines cast elements to
+double *before* multiplying, and cosines are rounded to 6 decimals (libm
+/ association-order ulps). Ranking uses (rounded cosine, neighbor id) so
+ordering is engine-independent.
+"""
+
+from __future__ import annotations
+
+EMB_DIM = 64
+N_PLANES = 8
+TOPK = 5
+N_QUERIES = 20  # vec_id < N_QUERIES form the query set
+
+
+def _lcg_weight(plane: int, dim: int) -> float:
+    """Deterministic pseudo-weight in [-1, 1): LCG over (plane, dim)."""
+    x = (1103515245 * (plane * EMB_DIM + dim) + 12345) % 2147483648
+    return ((x % 2001) - 1000) / 1000.0
+
+
+def _hyperplanes() -> list[list[float]]:
+    return [[_lcg_weight(p, d) for d in range(EMB_DIM)] for p in range(N_PLANES)]
+
+
+# ------------------------------------------------------------------ spark
+def _dot(a, b):
+    from pyspark.sql import functions as F
+
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _to_double(col):
+    from pyspark.sql import functions as F
+
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _cosine(a, b):
+    from pyspark.sql import functions as F
+
+    return F.round(_dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6)
+
+
+def ann_cosine_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
+    """(query_id, neighbor_id, cosine, rank): brute-force top-k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _to_double(F.col("embedding")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = emb.crossJoin(F.broadcast(queries)).filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine(F.col("qv"), F.col("v")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ann_lsh_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
+    """LSH-bucketed variant: sign-pattern bucket then in-bucket re-rank."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    planes = _hyperplanes()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _to_double(F.col("embedding")).alias("v")
+    )
+    bucket_bits = [
+        (_dot(F.col("v"), F.array(*[F.lit(w) for w in plane])) > 0).cast("int")
+        for plane in planes
+    ]
+    bucket = None
+    for i, b in enumerate(bucket_bits):
+        term = b * (1 << i)
+        bucket = term if bucket is None else bucket + term
+    emb = emb.withColumn("bucket", bucket)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
+    )
+    cand = emb.join(F.broadcast(queries), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine(F.col("qv"), F.col("v")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# -------------------------------------------------------------------- sql
+_SQL_EMB = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return f"list_dot_product({a}, {b})"
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"round({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})), 6)"
+    )
+
+
+def sql_ann_cosine_topk(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
+    cos = _sql_cosine("q.qv", "e.v")
+    return f"""
+    WITH emb AS ({_SQL_EMB}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cosine
+      FROM emb e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def sql_ann_lsh_topk(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
+    planes = _hyperplanes()
+    bit_terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(w) for w in plane) + "]"
+        bit_terms.append(f"(CASE WHEN {_sql_dot('v', arr)} > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(bit_terms)
+    cos = _sql_cosine("q.qv", "e.v")
+    return f"""
+    WITH emb AS (SELECT vec_id, v, {bucket} AS bucket FROM ({_SQL_EMB})),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM emb WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cosine
+      FROM emb e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

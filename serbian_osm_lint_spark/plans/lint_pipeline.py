@@ -7,13 +7,13 @@ from __future__ import annotations
 
 from .. import synth
 from ..operators import checks
+from ..sources import catalog
 
 
 def build_verdicts(spark, sf_dir: str):
-    """docs + dims + checks → long verdict table (lazy)."""
-    docs = synth.docs_df(spark, sf_dir)
-    wiki = synth.wiki_pages_df(spark, sf_dir)
-    wd = synth.wikidata_items_df(spark, sf_dir)
+    """stored docs + dims + checks → long verdict table (lazy scan-based)."""
+    docs = catalog.docs_table(spark, sf_dir)
+    wiki, wd = catalog.dims_tables(spark, sf_dir)
     return checks.lint_verdicts_df(spark, docs, wiki, wd)
 
 

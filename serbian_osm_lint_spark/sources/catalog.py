@@ -15,6 +15,7 @@ out-of-band (SURVEY §2.1 S1-S5) — the engine scans the doc table.
 from __future__ import annotations
 
 import functools
+import os
 
 
 @functools.lru_cache(maxsize=1)
@@ -54,3 +55,56 @@ def read_table(spark, path: str):
 def load_tpch(spark, sf_dir: str, name: str):
     """Load one of the driver-provided synthetic tables."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+#: bump when the synth derivation changes (invalidates cached doc tables).
+SYNTH_VERSION = "v2"
+
+
+def _cache_root() -> str:
+    root = os.environ.get("SPARK_GRAFT_CACHE", "/root/repo/.cache")
+    try:
+        os.makedirs(root, exist_ok=True)
+        return root
+    except OSError:
+        import tempfile
+
+        return tempfile.gettempdir()
+
+
+def docs_table(spark, sf_dir: str):
+    """The interleaved doc table as a *stored* table (parquet/Iceberg).
+
+    The engine's contract is scanning a stored Iceberg table; synthesizing
+    docs lazily per query would also (a) misrepresent the production scan
+    shape and (b) blow up Catalyst planning time — the synthesis
+    expression tree gets duplicated through self-joins. Materialized once
+    per (sf_dir, SYNTH_VERSION), then every query is a plain columnar scan
+    with pushdown. Partitioned by a doc_id hash bucket — the stand-in for
+    Iceberg's ``bucket(doc_id)`` partition transform at cluster scale.
+    """
+    from .. import synth
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_cache_root(), f"docs_{key}_{SYNTH_VERSION}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        synth.docs_df(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def dims_tables(spark, sf_dir: str):
+    """wiki_pages + wikidata_items snapshot dims, cached like docs_table."""
+    from .. import synth
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    out = []
+    for name, builder in (
+        ("wiki", synth.wiki_pages_df),
+        ("wd", synth.wikidata_items_df),
+    ):
+        path = os.path.join(_cache_root(), f"{name}_{key}_{SYNTH_VERSION}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            builder(spark, sf_dir).write.mode("overwrite").parquet(path)
+        out.append(spark.read.parquet(path))
+    return tuple(out)

@@ -1,0 +1,42 @@
+# -*- coding: utf-8 -*-
+"""Structured Streaming execution mode (optional per SURVEY §2.10).
+
+``Trigger.AvailableNow`` over the stored doc table: the engine's batch
+pipelines run unchanged inside ``foreachBatch``; Spark's streaming
+checkpoint gives exactly-once file-source progress tracking, which is
+the second (engine-native) resume mechanism next to the bucket manifest
+in :mod:`.resume`. At cluster scale the same topology tails an Iceberg
+table's appended snapshots.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def stream_lint_verdicts(spark, docs_path: str, out_dir: str, checkpoint_dir: str, wiki, wd):
+    """Run the lint pipeline incrementally over ``docs_path`` (parquet dir).
+
+    Returns the number of batches executed in this invocation (0 when the
+    checkpoint says everything was already processed).
+    """
+    from ..operators.checks import lint_verdicts_df
+    from ..schema import DOCS_SCHEMA
+
+    batches = []
+
+    def process_batch(batch_df, batch_id):
+        out = lint_verdicts_df(batch_df.sparkSession, batch_df, wiki, wd)
+        out.write.mode("append").parquet(os.path.join(out_dir, "verdicts"))
+        batches.append(batch_id)
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .parquet(docs_path)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()
+    return len(batches)
