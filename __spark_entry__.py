@@ -21,10 +21,13 @@ from serbian_osm_lint_spark.plans import lint_pipeline  # noqa: E402
 from serbian_osm_lint_spark.operators import queries as q29  # noqa: E402
 from serbian_osm_lint_spark.operators import (  # noqa: E402
     dedup,
+    events,
+    fixes,
     media,
     report,
     similarity,
     spatial,
+    wikiwalk,
 )
 
 
@@ -116,6 +119,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": lambda s, d: media.extract_media_features_df(
             s, _docs(s, d)
         ),  # rows-only (no oracle: mapInPandas stub decode)
+        # event-stream operators (batch faces; streaming twins in tests)
+        "events_windowed": lambda s, d: events.events_windowed_df(s, d),
+        "sessionize": lambda s, d: events.sessionize_df(s, d),
+        # J3 disambiguation walk + S8 proposed fixes
+        "wiki_guess": lambda s, d: wikiwalk.wiki_guess_df(s, _docs(s, d)),
+        "proposed_fixes": lambda s, d: fixes.proposed_fixes_df(s, _docs(s, d)),
     }
     for name in q29.ALL_PIPELINES:
         q[f"sparql_{name}"] = _mk_pipeline(name)
@@ -142,6 +151,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": dedup.sql_minhash_lsh_pairs(),
         "ann_cosine_topk": similarity.sql_ann_cosine_topk(),
         "ann_lsh_topk": similarity.sql_ann_lsh_topk(),
+        "events_windowed": events.sql_events_windowed(),
+        "sessionize": events.sql_sessionize(),
+        "wiki_guess": wikiwalk.sql_wiki_guess(d),
+        "proposed_fixes": fixes.sql_proposed_fixes(d),
     }
     for name in q29.ALL_PIPELINES:
         o[f"sparql_{name}"] = q29.sql_pipeline(d, name)

@@ -36,7 +36,14 @@ def with_near_dups_df(spark, sf_dir: str):
     (doc_id%10==0, one token appended). Copy ids are offset by 10^6/2·10^6."""
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # single-file parquet scans read as ONE partition; the md5/shingle
+    # work is CPU-bound, so spread rows across the cluster first (a real
+    # 100 TB table arrives pre-split into many files/row-groups).
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    )
     exact = (
         docs.filter(F.col("doc_id") % 7 == 0)
         .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
@@ -121,31 +128,48 @@ def _sql_shingles(text: str) -> str:
 
 
 def minhash_signatures_df(spark, sf_dir: str):
-    """(doc_id, sig_0..sig_7): per-row native min-over-md5 signatures."""
+    """(doc_id, sig_0..sig_7): min-hash signatures from md5 hex chunks.
+
+    Cost discipline: md5 is the expensive op, so each shingle gets TWO
+    md5s (``md5(s)``, ``md5(s || '#')``) and the 8 "permutations" are the
+    8 non-overlapping 32-bit (8-hex-char) slices -- fixed-width lowercase
+    hex compares lexicographically == numerically, so string ``min`` is a
+    valid min-hash. 4x cheaper than 8 independent md5 passes.
+
+    NB (transform lambdas): one arg only -- a second parameter would
+    receive the element *index*.
+    """
     from pyspark.sql import functions as F
 
     docs = with_near_dups_df(spark, sf_dir)
     sh = docs.select("doc_id", _shingles_col(F.col("text")).alias("shingles"))
-    def _sig(i):
-        # NB: the lambda must take exactly one arg — F.transform treats a
-        # second parameter as the element *index*.
-        return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(s, F.lit(f"#{i}"))))
-        ).alias(f"sig_{i}")
+    sh = sh.select(
+        "doc_id",
+        F.transform(F.col("shingles"), lambda s: F.md5(s)).alias("h1"),
+        F.transform(F.col("shingles"), lambda s: F.md5(F.concat(s, F.lit("#")))).alias("h2"),
+    )
 
-    sigs = [_sig(i) for i in range(N_HASHES)]
-    return sh.select("doc_id", *sigs)
+    def _sig(i):
+        src = F.col("h1") if i < 4 else F.col("h2")
+        off = (i % 4) * 8 + 1
+        return F.array_min(F.transform(src, lambda h: F.substring(h, off, 8))).alias(f"sig_{i}")
+
+    return sh.select("doc_id", *[_sig(i) for i in range(N_HASHES)])
 
 
 def sql_minhash_signatures() -> str:
     sh = _sql_shingles("text")
-    sigs = ", ".join(
-        f"list_min([md5(s || '#{i}') FOR s IN shingles]) AS sig_{i}" for i in range(N_HASHES)
-    )
+    sigs = []
+    for i in range(N_HASHES):
+        src = "h1" if i < 4 else "h2"
+        off = (i % 4) * 8 + 1
+        sigs.append(f"list_min([substring(h, {off}, 8) FOR h IN {src}]) AS sig_{i}")
     return (
         f"WITH d AS ({sql_with_near_dups()}), "
-        f"sh AS (SELECT doc_id, {sh} AS shingles FROM d) "
-        f"SELECT doc_id, {sigs} FROM sh"
+        f"sh0 AS (SELECT doc_id, {sh} AS shingles FROM d), "
+        f"sh AS (SELECT doc_id, [md5(s) FOR s IN shingles] AS h1, "
+        f"[md5(s || '#') FOR s IN shingles] AS h2 FROM sh0) "
+        f"SELECT doc_id, {', '.join(sigs)} FROM sh"
     )
 
 

@@ -1,0 +1,117 @@
+# -*- coding: utf-8 -*-
+"""Event-stream operators: tumbling-window aggregation and sessionization.
+
+No reference analogue (the reference is batch-only; SURVEY §2.10) — these
+are the streaming-adjacent operators a 100 TB pipeline needs, expressed
+so the *same* aggregation runs in batch (oracle-checked) and under
+Structured Streaming with a watermark (tests/test_events_stream.py).
+
+Scale shape: windowed agg shuffles on (window, event_type) — bounded
+cardinality; sessionization shuffles on user_id (well-distributed) and
+is one pass with a lag window, no self-join.
+"""
+
+from __future__ import annotations
+
+SESSION_GAP_SEC = 1800
+
+
+def events_windowed_df(spark, sf_dir: str):
+    """1-hour tumbling window × event_type: count, sum, avg(value)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def sql_events_windowed() -> str:
+    return (
+        "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, "
+        "count(*) AS n_events, round(sum(value), 6) AS sum_value, "
+        "round(avg(value), 6) AS avg_value "
+        "FROM events GROUP BY 1, 2"
+    )
+
+
+def sessionize_df(spark, sf_dir: str):
+    """Per-user session stats with a 30-min inactivity gap.
+
+    lag(ts) over (user order by ts) → gap > 1800s starts a session;
+    running sum of starts = session index.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts arrives as TIMESTAMP_NTZ (no direct cast to long) — hop via
+    # TIMESTAMP (session TZ pinned UTC, value-preserving) to epoch seconds.
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0)
+    )
+    return sess.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def sql_sessionize() -> str:
+    return f"""
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM g GROUP BY user_id
+    """
+
+
+def stream_events_windowed(spark, events_path: str, out_dir: str, checkpoint_dir: str):
+    """The same windowed agg under Structured Streaming with a 1-hour
+    watermark, AvailableNow trigger, append mode (closed windows only)."""
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(events_path).schema
+    ev = spark.readStream.schema(schema).parquet(events_path)
+    # parquet reads ts as TIMESTAMP_NTZ; watermarks need TIMESTAMP (session
+    # TZ is pinned UTC, so the cast is value-preserving).
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -22,7 +22,7 @@ ordering is engine-independent.
 from __future__ import annotations
 
 EMB_DIM = 64
-N_PLANES = 8
+N_PLANES = 4  # 16 buckets: ~3% of pairs probed, recall stays useful
 TOPK = 5
 N_QUERIES = 20  # vec_id < N_QUERIES form the query set
 
@@ -63,8 +63,10 @@ def ann_cosine_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUE
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", _to_double(F.col("embedding")).alias("v")
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", _to_double(F.col("embedding")).alias("v"))
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     )
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

@@ -1,0 +1,205 @@
+# -*- coding: utf-8 -*-
+"""J3: the bounded Wikipedia disambiguation walk as unrolled joins.
+
+Reference ``_guess_from_wikipedia`` (``src/checks.py:46-134``): look up the
+entity name; a page with a valid place box wins iff its coords are present
+and ≤ 20 km from the entity (``:124-131``); a disambiguation page recurses
+into its links in order (``:116-119``), preorder DFS, bailing at depth > 3
+(``:69-71``). That per-entity recursive network walk becomes three
+LEFT-JOIN levels against two small broadcast dims:
+
+  * ``pages(title, is_disambig, lat, lon)``
+  * ``links(parent, ord, child)``
+
+and the DFS preorder is recovered relationally: each candidate carries a
+zero-padded ordinal *path key* (root = '', depth-2 = '07', depth-3 =
+'0703'); lexicographic min over keys ≡ preorder-first winner — prefix
+sorts before extension, siblings sort by link order. Depth 4 simply has
+no join level (the reference's bail-out).
+
+The dim is a static literal (same constant list feeds the Spark frames
+and the SQL VALUES), with per-name shapes: direct-valid page, 2-link
+disambig whose first link has no coords (exception path), a 4-deep
+disambig chain (must fail the depth bound), and missing page.
+"""
+
+from __future__ import annotations
+
+from ..functions.geo import haversine_km_col, sql_haversine_km
+from ..functions.translit import has_cyrillic_col, sql_has_cyrillic
+from ..synth import CYR_NAMES, HOT2_LAT0, HOT2_LON0, HOT_LAT0, HOT_LON0
+from .checks import APPLICABLE_PLACES
+from .spans import with_entity_projection
+
+
+def _guess_dim():
+    """(pages, links) literal rows; shape cycles with name index % 4."""
+    pages, links = [], []
+    for i, name in enumerate(CYR_NAMES):
+        m = i % 4
+        if m == 0:  # direct valid page near the Belgrade hot cell
+            pages.append((name, False, HOT_LAT0 + 0.05, HOT_LON0 + 0.05))
+        elif m == 1:  # disambig; link 1 has no coords, link 2 wins (Novi Sad)
+            pages.append((name, True, None, None))
+            pages.append((f"{name} (река)", False, None, None))
+            pages.append((f"{name} (насеље)", False, HOT2_LAT0 + 0.05, HOT2_LON0 + 0.05))
+            links.append((name, 1, f"{name} (река)"))
+            links.append((name, 2, f"{name} (насеље)"))
+        elif m == 2:  # 4-deep chain: depth bound must kill it
+            pages.append((name, True, None, None))
+            pages.append((f"{name} А", True, None, None))
+            pages.append((f"{name} Б", True, None, None))
+            pages.append((f"{name} В", False, HOT_LAT0 + 0.05, HOT_LON0 + 0.05))
+            links.append((name, 1, f"{name} А"))
+            links.append((f"{name} А", 1, f"{name} Б"))
+            links.append((f"{name} Б", 1, f"{name} В"))
+        # m == 3: no page at all
+    return pages, links
+
+GUESS_PAGES, GUESS_LINKS = _guess_dim()
+
+
+def wiki_guess_df(spark, docs):
+    """C6-fix guesses: (doc_id, name, guess_title, depth).
+
+    Eligibility mirrors the fix gates (``src/checks.py:401-407``): entity
+    applicable, wikipedia tag absent (the C6 error), in-country, name
+    present and Cyrillic.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pages = F.broadcast(
+        spark.createDataFrame(GUESS_PAGES, "title string, is_disambig boolean, lat double, lon double")
+    )
+    links = F.broadcast(spark.createDataFrame(GUESS_LINKS, "parent string, ord int, child string"))
+
+    ent = with_entity_projection(docs)
+    t = lambda key: F.element_at(F.col("tags"), key)  # noqa: E731
+    excl = F.map_contains_key(F.col("tags"), "is_in:country") & (
+        t("is_in:country") != "Serbia"
+    )
+    e = ent.filter(
+        t("place").isin(*APPLICABLE_PLACES)
+        & ~F.map_contains_key(F.col("tags"), "wikipedia")
+        & ~F.coalesce(excl, F.lit(False))
+        & (F.coalesce(t("name"), F.lit("")) != "")
+        & has_cyrillic_col(t("name"))
+    ).select("doc_id", t("name").alias("name"), F.col("lat").alias("e_lat"), F.col("lon").alias("e_lon"))
+
+    def valid_win(p_prefix, df, key_col):
+        dist = haversine_km_col(
+            F.col("e_lat"), F.col("e_lon"), F.col(f"{p_prefix}_lat"), F.col(f"{p_prefix}_lon")
+        )
+        return df.filter(
+            (~F.col(f"{p_prefix}_disambig"))
+            & F.col(f"{p_prefix}_lat").isNotNull()
+            & (dist <= 20.0)
+        ).select(
+            "doc_id",
+            "name",
+            F.col(f"{p_prefix}_title").alias("guess_title"),
+            key_col.alias("path_key"),
+        )
+
+    def page_alias(prefix):
+        return pages.select(
+            F.col("title").alias(f"{prefix}_title"),
+            F.col("is_disambig").alias(f"{prefix}_disambig"),
+            F.col("lat").alias(f"{prefix}_lat"),
+            F.col("lon").alias(f"{prefix}_lon"),
+        )
+
+    d1 = e.join(page_alias("p1"), e["name"] == F.col("p1_title"))
+    w1 = valid_win("p1", d1, F.lit(""))
+
+    l1 = links.select(
+        F.col("parent").alias("l1_parent"), F.col("ord").alias("l1_ord"), F.col("child").alias("l1_child")
+    )
+    d2 = (
+        d1.filter(F.col("p1_disambig"))
+        .join(l1, F.col("p1_title") == F.col("l1_parent"))
+        .join(page_alias("p2"), F.col("l1_child") == F.col("p2_title"))
+    )
+    key2 = F.lpad(F.col("l1_ord").cast("string"), 2, "0")
+    w2 = valid_win("p2", d2, key2)
+
+    l2 = links.select(
+        F.col("parent").alias("l2_parent"), F.col("ord").alias("l2_ord"), F.col("child").alias("l2_child")
+    )
+    d3 = (
+        d2.filter(F.col("p2_disambig"))
+        .join(l2, F.col("p2_title") == F.col("l2_parent"))
+        .join(page_alias("p3"), F.col("l2_child") == F.col("p3_title"))
+    )
+    key3 = F.concat(key2, F.lpad(F.col("l2_ord").cast("string"), 2, "0"))
+    w3 = valid_win("p3", d3, key3)
+
+    cands = w1.unionByName(w2).unionByName(w3)
+    w = Window.partitionBy("doc_id").orderBy("path_key")
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "name",
+            "guess_title",
+            (F.length("path_key") / 2 + 1).cast("int").alias("depth"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------- sql
+def sql_wiki_guess(docs_sql: str) -> str:
+    def esc(s):
+        return s.replace("'", "''")
+
+    pages_vals = ", ".join(
+        f"('{esc(t)}', {str(d).lower()}, "
+        + (f"{la}, {lo}" if la is not None else "NULL, NULL")
+        + ")"
+        for t, d, la, lo in GUESS_PAGES
+    )
+    links_vals = ", ".join(f"('{esc(p)}', {o}, '{esc(c)}')" for p, o, c in GUESS_LINKS)
+    dist = lambda p: sql_haversine_km("e.e_lat", "e.e_lon", f"{p}.lat", f"{p}.lon")  # noqa: E731
+    win = (
+        lambda p: f"(NOT {p}.is_disambig AND {p}.lat IS NOT NULL AND {dist(p)} <= 20.0)"
+    )  # noqa: E731
+    return f"""
+    WITH pages(title, is_disambig, lat, lon) AS (VALUES {pages_vals}),
+    links(parent, ord, child) AS (VALUES {links_vals}),
+    e AS (
+      SELECT doc_id, name, lat AS e_lat, lon AS e_lon FROM ({docs_sql})
+      WHERE place IN ('city', 'town', 'village') AND wikipedia IS NULL
+        AND NOT (is_in_country IS NOT NULL AND is_in_country <> 'Serbia')
+        AND coalesce(name, '') <> '' AND {sql_has_cyrillic('name')}
+    ),
+    w1 AS (
+      SELECT e.doc_id, e.name, p1.title AS guess_title, '' AS path_key
+      FROM e JOIN pages p1 ON p1.title = e.name WHERE {win('p1')}
+    ),
+    w2 AS (
+      SELECT e.doc_id, e.name, p2.title AS guess_title,
+             lpad(CAST(l1.ord AS VARCHAR), 2, '0') AS path_key
+      FROM e JOIN pages p1 ON p1.title = e.name AND p1.is_disambig
+      JOIN links l1 ON l1.parent = p1.title
+      JOIN pages p2 ON p2.title = l1.child
+      WHERE {win('p2')}
+    ),
+    w3 AS (
+      SELECT e.doc_id, e.name, p3.title AS guess_title,
+             lpad(CAST(l1.ord AS VARCHAR), 2, '0') ||
+             lpad(CAST(l2.ord AS VARCHAR), 2, '0') AS path_key
+      FROM e JOIN pages p1 ON p1.title = e.name AND p1.is_disambig
+      JOIN links l1 ON l1.parent = p1.title
+      JOIN pages p2 ON p2.title = l1.child AND p2.is_disambig
+      JOIN links l2 ON l2.parent = p2.title
+      JOIN pages p3 ON p3.title = l2.child
+      WHERE {win('p3')}
+    ),
+    cands AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3)
+    SELECT doc_id, name, guess_title,
+           CAST(length(path_key) / 2 + 1 AS INT) AS depth
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY path_key) AS rn FROM cands)
+    WHERE rn = 1
+    """

@@ -89,7 +89,10 @@ def docs_table(spark, sf_dir: str):
     path = os.path.join(_cache_root(), f"docs_{key}_{SYNTH_VERSION}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        synth.docs_df(spark, sf_dir).write.mode("overwrite").parquet(path)
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        synth.docs_df(spark, sf_dir).repartition(n_parts, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(path)
     return spark.read.parquet(path)
 
 

@@ -120,6 +120,20 @@ def scalar_tags_df(spark, sf_dir: str):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey").cast("long").alias("k")
     )
+    return _scalar_tags_from_keys(cust)
+
+
+def scalar_tags_range_df(spark, n: int, partitions: int = 64):
+    """Same derivation over ``spark.range`` keys — arbitrary-scale corpus
+    for throughput/scaling runs (no testdata dependency, keys ≥ 1)."""
+    from pyspark.sql import functions as F
+
+    keys = spark.range(1, n + 1, 1, partitions).select(F.col("id").alias("k"))
+    return _scalar_tags_from_keys(keys)
+
+
+def _scalar_tags_from_keys(cust):
+    from pyspark.sql import functions as F
     cyr, lat_, intn = _pick16(CYR_NAMES), _pick16(LAT_NAMES), _pick16(INT_NAMES)
     k = F.col("k")
     title = F.concat(cyr, F.lit(" "), k.cast("string"))
@@ -190,9 +204,16 @@ def docs_df(spark, sf_dir: str):
     then one media span. Offsets re-indexed 0..n-1 after the skip, so the
     per-row invariant (kind, text, media_ref, order) is well-defined.
     """
-    from pyspark.sql import functions as F
+    return _encode_spans(scalar_tags_df(spark, sf_dir))
 
-    st = scalar_tags_df(spark, sf_dir)
+
+def docs_range_df(spark, n: int, partitions: int = 64):
+    """Arbitrary-scale doc corpus (see :func:`scalar_tags_range_df`)."""
+    return _encode_spans(scalar_tags_range_df(spark, n, partitions))
+
+
+def _encode_spans(st):
+    from pyspark.sql import functions as F
     tag_spans = [
         F.when(
             F.col(f"`{key}`").isNotNull(),

@@ -1,0 +1,71 @@
+# -*- coding: utf-8 -*-
+"""J3 disambiguation walk: planted shapes behave per the reference bound
+(src/checks.py:46-134); S8 proposed fixes stay consistent with verdicts."""
+
+from conftest import SF_SMALL
+
+from serbian_osm_lint_spark.synth import CYR_NAMES
+
+
+def _name_idx(name):
+    return CYR_NAMES.index(name)
+
+
+def test_wiki_guess_shapes(spark):
+    from serbian_osm_lint_spark.operators import wikiwalk
+    from serbian_osm_lint_spark.sources import catalog
+
+    docs = catalog.docs_table(spark, SF_SMALL)
+    rows = wikiwalk.wiki_guess_df(spark, docs).collect()
+    assert len(rows) > 0
+    for r in rows:
+        m = _name_idx(r.name) % 4
+        if m == 0:  # direct valid page: depth 1, guess == name
+            assert r.depth == 1 and r.guess_title == r.name
+        elif m == 1:  # disambig: link 1 lacks coords, link 2 wins at depth 2
+            assert r.depth == 2 and r.guess_title == f"{r.name} (насеље)"
+        else:  # m==2 (4-chain, depth bound) and m==3 (missing page): no guess
+            raise AssertionError(f"unexpected guess for shape {m}: {r}")
+
+
+def test_wiki_guess_depth_bound_kills_long_chain(spark):
+    """The m==2 names have a valid page at depth 4 — reference bails at
+    depth > 3 (src/checks.py:69-71), so no guess may surface."""
+    from serbian_osm_lint_spark.operators import wikiwalk
+    from serbian_osm_lint_spark.sources import catalog
+
+    docs = catalog.docs_table(spark, SF_SMALL)
+    got_names = {r.name for r in wikiwalk.wiki_guess_df(spark, docs).collect()}
+    for name in got_names:
+        assert _name_idx(name) % 4 in (0, 1)
+
+
+def test_proposed_fixes_consistent_with_verdicts(spark):
+    from serbian_osm_lint_spark.operators import fixes
+    from serbian_osm_lint_spark.plans import lint_pipeline
+    from serbian_osm_lint_spark.sources import catalog
+
+    docs = catalog.docs_table(spark, SF_SMALL)
+    fx = fixes.proposed_fixes_df(spark, docs).collect()
+    assert len(fx) > 0
+    verdicts = {
+        (r.doc_id, r.map_name, r.check_name): (r.result, r.fixable)
+        for r in lint_pipeline.build_verdicts(spark, SF_SMALL).collect()
+    }
+    from serbian_osm_lint_spark.functions.translit import cyr2lat_py, has_cyrillic_py
+
+    for r in fx:
+        key = (r.doc_id, r.map_name, r.check_name)
+        result, fixable = verdicts[key]
+        # every proposed fix targets a fixable CHECKED_ERROR verdict
+        assert result == "CHECKED_ERROR", key
+        assert fixable, key
+        if r.action == "delete":
+            assert r.new_val is None
+        elif r.tag == "name:sr-Latn":
+            assert not has_cyrillic_py(r.new_val)
+            assert cyr2lat_py(r.new_val) == r.new_val  # already latin
+        elif r.tag == "wikipedia":
+            assert r.new_val.startswith("sr:")
+        elif r.tag == "is_in:country":
+            assert r.new_val == "Serbia"
