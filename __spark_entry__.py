@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from serbian_osm_lint_spark import synth  # noqa: E402
+from serbian_osm_lint_spark.functions import osm_parsers  # noqa: E402
 from serbian_osm_lint_spark.functions import text as ftext  # noqa: E402
 from serbian_osm_lint_spark.plans import lint_pipeline  # noqa: E402
 from serbian_osm_lint_spark.operators import queries as q29  # noqa: E402
@@ -125,6 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # J3 disambiguation walk + S8 proposed fixes
         "wiki_guess": lambda s, d: wikiwalk.wiki_guess_df(s, _docs(s, d)),
         "proposed_fixes": lambda s, d: fixes.proposed_fixes_df(s, _docs(s, d)),
+        # F8/P10: Sophox binding parsers with malformed-row skip
+        "parse_sophox_rows": lambda s, d: osm_parsers.parse_sophox_rows_df(s, d),
     }
     for name in q29.ALL_PIPELINES:
         q[f"sparql_{name}"] = _mk_pipeline(name)
@@ -155,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": events.sql_sessionize(),
         "wiki_guess": wikiwalk.sql_wiki_guess(d),
         "proposed_fixes": fixes.sql_proposed_fixes(d),
+        "parse_sophox_rows": osm_parsers.sql_parse_sophox_rows(),
     }
     for name in q29.ALL_PIPELINES:
         o[f"sparql_{name}"] = q29.sql_pipeline(d, name)

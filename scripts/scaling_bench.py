@@ -37,7 +37,7 @@ import sys, time, json; sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 from serbian_osm_lint_spark.session import get_spark
 from serbian_osm_lint_spark.operators import checks, spatial
-spark = get_spark("scale", cpus=CPUS)
+spark = get_spark("scale", cpus=CPUS, emulate_executors=True)
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet("DATA")
 wiki = spark.read.parquet("DATA_wiki")

@@ -94,9 +94,68 @@ def lint_verdicts_df(spark, docs, wiki_pages, wikidata_items, maps=DEFAULT_MAPS)
         "left",
     )
 
-    maps_df = spark.createDataFrame(maps, "map_name string, is_serbia boolean")
-    base = base.crossJoin(F.broadcast(maps_df))
+    # map expansion as an exploded literal array instead of a crossJoin:
+    # BroadcastNestedLoopJoin blocks whole-stage codegen; Generate doesn't.
+    maps_structs = F.array(
+        *[
+            F.struct(F.lit(m).alias("map_name"), F.lit(s).alias("is_serbia"))
+            for m, s in maps
+        ]
+    )
+    base = (
+        base.select("*", F.explode(maps_structs).alias("_m"))
+        .select("*", F.col("_m.map_name").alias("map_name"), F.col("_m.is_serbia").alias("is_serbia"))
+        .drop("_m")
+    )
     is_serbia = F.col("is_serbia")
+
+    # Flatten everything the checks read into plain attributes FIRST. The
+    # original single giant projection (13 structs x full tag-map lookups x
+    # the 60-replace transliteration chain) exceeded codegen limits and the
+    # whole stage fell back to interpreted eval (~20x slower, measured).
+    # Small layered projections keep every stage inside codegen and
+    # evaluate each shared expression once.
+    mid = base.select(
+        "doc_id", "map_name", "is_serbia", "osm_id", "lat", "lon",
+        "wp_title", "w_title", "w_lat", "w_lon", "wd_q", "label_sr",
+        t("place").alias("a_place"),
+        t("name").alias("a_name"),
+        t("name:sr").alias("a_name_sr"),
+        t("name:sr-Latn").alias("a_latn"),
+        t("is_in:country").alias("a_isin"),
+        t("wikipedia").alias("a_wp"),
+        t("wikidata").alias("a_wd"),
+        has("name").alias("h_name"),
+        has("name:sr").alias("h_name_sr"),
+        has("name:sr-Latn").alias("h_latn"),
+        has("is_in:country").alias("h_isin"),
+        has("wikipedia").alias("h_wp"),
+        has("wikidata").alias("h_wd"),
+    )
+    auth = F.when(is_serbia, F.col("a_name")).otherwise(F.col("a_name_sr"))
+    base = mid.withColumn("auth_lat", cyr2lat_col(auth)).withColumn(
+        "w_dist",
+        haversine_km_col(F.col("lat"), F.col("lon"), F.col("w_lat"), F.col("w_lon")),
+    )
+
+    _flat_t = {
+        "place": "a_place", "name": "a_name", "name:sr": "a_name_sr",
+        "name:sr-Latn": "a_latn", "is_in:country": "a_isin",
+        "wikipedia": "a_wp", "wikidata": "a_wd",
+    }
+    _flat_h = {
+        "name": "h_name", "name:sr": "h_name_sr", "name:sr-Latn": "h_latn",
+        "is_in:country": "h_isin", "wikipedia": "h_wp", "wikidata": "h_wd",
+    }
+
+    def t(key):  # noqa: F811 — rebound to the flattened attributes
+        return F.col(_flat_t[key])
+
+    def has(key):  # noqa: F811
+        return F.col(_flat_h[key])
+
+    def nonempty(key):  # noqa: F811
+        return F.coalesce(t(key), F.lit("")) != ""
 
     place_type = F.coalesce(t("place"), F.lit("(unknown place type)"))
     name_or_id = F.when(has("name"), t("name")).otherwise(F.col("osm_id"))
@@ -145,7 +204,7 @@ def lint_verdicts_df(spark, docs, wiki_pages, wikidata_items, maps=DEFAULT_MAPS)
     )
     add(
         "LatinNameSameAsCyrillicCheck",
-        c4_eval & (cyr2lat_col(c4_cyr) != latn),
+        c4_eval & (F.col("auth_lat") != latn),
         F.format_string(
             "Latin name %s for %s %s is not properly transliterated", latn, place_type, c4_cyr
         ),
@@ -186,7 +245,7 @@ def lint_verdicts_df(spark, docs, wiki_pages, wikidata_items, maps=DEFAULT_MAPS)
     # C8 — WikipediaEntryValidCheck (src/checks.py:498-551) + distance gate
     # (src/checks.py:19-43): page-missing / missing-coords / >20 km cases.
     c8_gate = has("name") & has("wikipedia") & t("wikipedia").startswith("sr:") & ~excl
-    dist = haversine_km_col(F.col("lat"), F.col("lon"), F.col("w_lat"), F.col("w_lon"))
+    dist = F.col("w_dist")
     c8_err = c8_gate & (
         F.col("w_title").isNull() | F.col("w_lat").isNull() | (dist > 20.0)
     )

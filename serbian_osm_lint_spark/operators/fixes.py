@@ -41,8 +41,15 @@ def proposed_fixes_df(spark, docs, maps=DEFAULT_MAPS):
     nonempty = lambda key: F.coalesce(t(key), F.lit("")) != ""  # noqa: E731
 
     base = ent.filter(t("place").isin(*APPLICABLE_PLACES))
-    maps_df = spark.createDataFrame(maps, "map_name string, is_serbia boolean")
-    base = base.crossJoin(F.broadcast(maps_df))
+    # exploded literal map array (BNLJ crossJoin blocks whole-stage codegen)
+    maps_structs = F.array(
+        *[F.struct(F.lit(m).alias("map_name"), F.lit(s).alias("is_serbia")) for m, s in maps]
+    )
+    base = (
+        base.select("*", F.explode(maps_structs).alias("_m"))
+        .select("*", F.col("_m.map_name").alias("map_name"), F.col("_m.is_serbia").alias("is_serbia"))
+        .drop("_m")
+    )
     is_serbia = F.col("is_serbia")
     excl = has("is_in:country") & (t("is_in:country") != "Serbia")
     auth = F.when(is_serbia, t("name")).otherwise(t("name:sr"))
@@ -107,7 +114,8 @@ def proposed_fixes_df(spark, docs, maps=DEFAULT_MAPS):
     # the reference's per-map fix loop)
     guess = wiki_guess_df(spark, docs)
     c6 = (
-        guess.crossJoin(F.broadcast(maps_df))
+        guess.select("*", F.explode(maps_structs).alias("_m"))
+        .select("*", F.col("_m.map_name").alias("map_name"))
         .select(
             "doc_id",
             "map_name",
@@ -130,9 +138,10 @@ def sql_proposed_fixes(docs_sql: str, maps=DEFAULT_MAPS) -> str:
         f"(CASE WHEN m.is_serbia THEN NOT {nonempty('name_sr_latn')} "
         f"ELSE (NOT {nonempty('name_sr_latn')} AND {has('name_sr')}) END)"
     )
+    auth_nonnull = f"coalesce({auth}, '')"
     c3_gate = (
         f"((CASE WHEN m.is_serbia THEN {nonempty('name')} ELSE {has('name_sr')} END) "
-        f"AND {sql_has_cyrillic(f'coalesce({auth}, ' + chr(39) + chr(39) + ')')})"
+        f"AND {sql_has_cyrillic(auth_nonnull)})"
     )
     c4_err = (
         f"((CASE WHEN m.is_serbia THEN {has('name')} ELSE {has('name_sr')} END) "

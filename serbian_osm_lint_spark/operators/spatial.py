@@ -165,13 +165,19 @@ def point_in_serbia_df(spark, docs, zoom: int = CELL_ZOOM):
     ent = ent.withColumn("cell_id", cell_id_col(F.col("lat"), F.col("lon"), zoom))
     ent = ent.join(cover_df, "cell_id", "left")
     pip = _pip_pandas_udf()
-    return ent.select(
-        "doc_id",
-        F.when(F.col("status") == "IN", F.lit(True))
-        .when(F.col("status").isNull(), F.lit(False))
-        .otherwise(pip(F.col("lat"), F.col("lon")))
-        .alias("in_serbia"),
+    # Split decided/boundary BEFORE the UDF: a `when(..., pip(...))`
+    # projection would extract ArrowEvalPython above the CASE and run the
+    # Python batch for EVERY row; the filter-union shape guarantees the
+    # UDF only ever sees the O(perimeter) boundary-cell rows.
+    decided = ent.filter(F.coalesce(F.col("status"), F.lit("OUT")) != "BOUNDARY").select(
+        "doc_id", (F.col("status") == "IN").alias("in_serbia")
     )
+    boundary = ent.filter(F.col("status") == "BOUNDARY").select(
+        "doc_id", pip(F.col("lat"), F.col("lon")).alias("in_serbia")
+    )
+    return decided.select(
+        "doc_id", F.coalesce(F.col("in_serbia"), F.lit(False)).alias("in_serbia")
+    ).unionByName(boundary)
 
 
 def point_in_serbia_exact_df(spark, docs):

@@ -12,7 +12,16 @@ from __future__ import annotations
 import os
 
 
-def get_spark(app_name: str = "serbian-osm-lint-spark", cpus: int | None = None):
+def get_spark(
+    app_name: str = "serbian-osm-lint-spark",
+    cpus: int | None = None,
+    emulate_executors: bool = False,
+):
+    """Local session. ``emulate_executors=True`` makes local[N] a faithful
+    proxy for an N-core *cluster slice*: the JVM is told it has exactly N
+    processors (GC/JIT/common-pool threads otherwise use all machine cores,
+    inflating low-parallelism throughput) and the heap scales with N (each
+    simulated executor brings its own memory)."""
     from pyspark.sql import SparkSession
 
     if cpus is None:
@@ -26,7 +35,16 @@ def get_spark(app_name: str = "serbian-osm-lint-spark", cpus: int | None = None)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if emulate_executors:
+        builder = builder.config(
+            "spark.driver.memory", f"{max(2, int(1.25 * cpus))}g"
+        ).config(
+            "spark.driver.extraJavaOptions", f"-XX:ActiveProcessorCount={cpus}"
+        )
+    else:
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g")
+        )
     return builder.getOrCreate()
