@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": lambda s, d: dedup.minhash_signatures_df(s, d),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs_df(s, d),
         "simhash": lambda s, d: dedup.simhash_df(s, d),  # rows-only (no oracle)
+        "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs_df(s, d),
+        "embedding_near_dups": lambda s, d: dedup.embedding_near_dups_df(s, d),
         "ann_cosine_topk": lambda s, d: similarity.ann_cosine_topk_df(s, d),
         "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk_df(s, d),
         "media_features": lambda s, d: media.extract_media_features_df(
@@ -152,6 +154,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.sql_dedup_exact(),
         "minhash_signatures": dedup.sql_minhash_signatures(),
         "minhash_lsh_pairs": dedup.sql_minhash_lsh_pairs(),
+        "ngram_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(),
+        "embedding_near_dups": dedup.sql_embedding_near_dups(),
         "ann_cosine_topk": similarity.sql_ann_cosine_topk(),
         "ann_lsh_topk": similarity.sql_ann_lsh_topk(),
         "events_windowed": events.sql_events_windowed(),

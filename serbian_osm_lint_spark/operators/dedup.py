@@ -292,3 +292,102 @@ def simhash_df(spark, sf_dir: str):
         "doc_id",
         simhash(F.col("text")).alias("simhash"),
     )
+
+
+# ----------------------------------------------------- n-gram Jaccard dedup
+NGRAM_JACCARD_THRESHOLD = 0.3
+
+
+def ngram_jaccard_pairs_df(spark, sf_dir: str):
+    """Blocked exact word-3-gram Jaccard: candidate pairs share a length
+    bucket (n_chars//64, plus the neighbor bucket) — the classic
+    blocking-key trick that keeps the pair space linear-ish; near-dups
+    rarely differ much in length. Output (doc_id_a, doc_id_b, jaccard).
+    """
+    from pyspark.sql import functions as F
+
+    docs = with_near_dups_df(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        _shingles_col(F.col("text")).alias("shingles"),
+        (F.length("text") / F.lit(64)).cast("long").alias("bucket"),
+    )
+    left = sh.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("bucket"),
+    )
+    right = sh.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"), "bucket"
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        6,
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+        .distinct()
+    )
+
+
+def sql_ngram_jaccard_pairs() -> str:
+    sh = _sql_shingles("text")
+    jac = (
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(a.sh, b.sh))), 6)"
+    )
+    return f"""
+    WITH d AS ({sql_with_near_dups()}),
+    sh AS (SELECT doc_id, {sh} AS sh,
+                  CAST(floor(length(text) / 64) AS BIGINT) AS bucket FROM d),
+    lhs AS (
+      SELECT doc_id AS doc_id_a, sh, unnest([bucket, bucket + 1]) AS bucket FROM sh
+    )
+    SELECT DISTINCT a.doc_id_a, b.doc_id AS doc_id_b, {jac} AS jaccard
+    FROM lhs a JOIN sh b ON a.bucket = b.bucket AND a.doc_id_a < b.doc_id
+    WHERE {jac} >= {NGRAM_JACCARD_THRESHOLD}
+    """
+
+
+# ------------------------------------------------ embedding-cosine near-dup
+COSINE_DUP_THRESHOLD = 0.9
+
+
+def embedding_near_dups_df(spark, sf_dir: str):
+    """Embedding near-duplicates: same-label (IVF-style) blocking, exact
+    cosine >= threshold inside the block. Output (vec_id_a, vec_id_b, cosine).
+    """
+    from pyspark.sql import functions as F
+
+    from .similarity import _cosine, _to_double
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label", _to_double(F.col("embedding")).alias("v"))
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    )
+    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"), "label")
+    b = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"), "label")
+    cos = _cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+def sql_embedding_near_dups() -> str:
+    from .similarity import _sql_cosine
+
+    cos = _sql_cosine("a.v", "b.v")
+    return f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, {cos} AS cosine
+    FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {cos} >= {COSINE_DUP_THRESHOLD}
+    """

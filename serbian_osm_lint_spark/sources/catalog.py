@@ -90,10 +90,8 @@ def docs_table(spark, sf_dir: str):
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        synth.docs_df(spark, sf_dir).repartition(n_parts, "doc_id").write.mode(
-            "overwrite"
-        ).parquet(path)
-    return spark.read.parquet(path)
+        write_table(synth.docs_df(spark, sf_dir).repartition(n_parts, "doc_id"), path)
+    return read_table(spark, path)
 
 
 def dims_tables(spark, sf_dir: str):
@@ -108,6 +106,6 @@ def dims_tables(spark, sf_dir: str):
     ):
         path = os.path.join(_cache_root(), f"{name}_{key}_{SYNTH_VERSION}")
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            builder(spark, sf_dir).write.mode("overwrite").parquet(path)
-        out.append(spark.read.parquet(path))
+            write_table(builder(spark, sf_dir), path)
+        out.append(read_table(spark, path))
     return tuple(out)

@@ -1,0 +1,72 @@
+# -*- coding: utf-8 -*-
+"""Physical-plan shape guarantees the scale story depends on:
+pushdown reaches the scan, dims broadcast, the salted path actually
+splits the hot cell, the kNN join stays an equi-join."""
+
+import io
+import contextlib
+
+from conftest import SF_SMALL
+
+
+def _plan(df):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark.sources import catalog
+
+    docs = catalog.docs_table(spark, SF_SMALL).filter(F.col("doc_id") == "n42")
+    plan = _plan(docs)
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,n42)]" in plan
+
+
+def test_dims_are_broadcast_and_no_early_shuffle(spark):
+    from serbian_osm_lint_spark.plans import lint_pipeline
+
+    plan = _plan(lint_pipeline.build_verdicts(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin LeftOuter") == 2  # wiki + wikidata dims
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # maps via explode, not BNLJ
+    assert "Exchange hashpartitioning" not in plan  # no shuffle before agg
+
+
+def test_knn_is_equi_join(spark):
+    from serbian_osm_lint_spark.operators import spatial
+    from serbian_osm_lint_spark.sources import catalog
+
+    docs = catalog.docs_table(spark, SF_SMALL)
+    plan = _plan(spatial.knn_dup_names_df(spark, docs))
+    assert "NestedLoop" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_salted_agg_splits_hot_cell(spark):
+    """SURVEY §7.3: the hot cells must actually trigger the salted path —
+    the partial (cell, salt) aggregation must hold the hot cell in many
+    groups, not one."""
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark.functions.geo import CELL_ZOOM, cell_id_col
+    from serbian_osm_lint_spark.operators.spans import with_entity_projection
+    from serbian_osm_lint_spark.sources import catalog
+
+    docs = catalog.docs_table(spark, SF_SMALL)
+    ent = with_entity_projection(docs)
+    cells = ent.select(
+        cell_id_col(F.col("lat"), F.col("lon"), CELL_ZOOM).alias("cell_id"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(16)).alias("salt"),
+    )
+    partial = cells.groupBy("cell_id", "salt").count()
+    hot_cell = (
+        cells.groupBy("cell_id").count().orderBy(F.desc("count")).first().cell_id
+    )
+    n_salt_groups = partial.filter(F.col("cell_id") == hot_cell).count()
+    assert n_salt_groups >= 8  # the hot cell splits across most salt buckets
