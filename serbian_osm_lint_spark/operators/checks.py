@@ -42,7 +42,7 @@ from ..functions.translit import (
     sql_has_cyrillic,
 )
 from ..functions.geo import haversine_km_col, sql_haversine_km
-from .spans import with_entity_projection
+from .spans import with_flat_entity
 
 #: (overall map, source) pairs the default run evaluates — the analogue of
 #: the reference config's map×check-suite expansion (``src/main.py:172-182``).
@@ -65,24 +65,17 @@ def lint_verdicts_df(spark, docs, wiki_pages, wikidata_items, maps=DEFAULT_MAPS)
     """
     from pyspark.sql import functions as F
 
-    base = with_entity_projection(docs)
-    tags = F.col("tags")
-
-    def t(key):
-        return F.element_at(tags, key)
-
-    def has(key):
-        return F.map_contains_key(tags, key)
-
-    def nonempty(key):
-        return F.coalesce(t(key), F.lit("")) != ""
-
-    applicable = t("place").isin(*APPLICABLE_PLACES)
-    base = base.filter(applicable)
+    # fast-path flat extraction of the well-known keys (see spans.py —
+    # ~2x cheaper than map decode, and it keeps every projection small
+    # enough for codegen).
+    base = with_flat_entity(docs)
+    base = base.filter(F.col("a_place").isin(*APPLICABLE_PLACES))
 
     # dims: broadcast left joins (wiki titles / wikidata q-ids are unique).
-    title = F.expr("substring(element_at(tags, 'wikipedia'), 4)")
-    base = base.withColumn("wp_title", F.when(has("wikipedia"), title))
+    base = base.withColumn(
+        "wp_title",
+        F.when(F.col("h_wp"), F.expr("substring(a_wp, 4)")),
+    )
     base = base.join(
         F.broadcast(wiki_pages).withColumnRenamed("title", "w_title"),
         base["wp_title"] == F.col("w_title"),
@@ -90,7 +83,7 @@ def lint_verdicts_df(spark, docs, wiki_pages, wikidata_items, maps=DEFAULT_MAPS)
     )
     base = base.join(
         F.broadcast(wikidata_items).withColumnRenamed("q_id", "wd_q"),
-        t("wikidata") == F.col("wd_q"),
+        F.col("a_wd") == F.col("wd_q"),
         "left",
     )
 
@@ -109,31 +102,13 @@ def lint_verdicts_df(spark, docs, wiki_pages, wikidata_items, maps=DEFAULT_MAPS)
     )
     is_serbia = F.col("is_serbia")
 
-    # Flatten everything the checks read into plain attributes FIRST. The
-    # original single giant projection (13 structs x full tag-map lookups x
-    # the 60-replace transliteration chain) exceeded codegen limits and the
-    # whole stage fell back to interpreted eval (~20x slower, measured).
-    # Small layered projections keep every stage inside codegen and
-    # evaluate each shared expression once.
-    mid = base.select(
-        "doc_id", "map_name", "is_serbia", "osm_id", "lat", "lon",
-        "wp_title", "w_title", "w_lat", "w_lon", "wd_q", "label_sr",
-        t("place").alias("a_place"),
-        t("name").alias("a_name"),
-        t("name:sr").alias("a_name_sr"),
-        t("name:sr-Latn").alias("a_latn"),
-        t("is_in:country").alias("a_isin"),
-        t("wikipedia").alias("a_wp"),
-        t("wikidata").alias("a_wd"),
-        has("name").alias("h_name"),
-        has("name:sr").alias("h_name_sr"),
-        has("name:sr-Latn").alias("h_latn"),
-        has("is_in:country").alias("h_isin"),
-        has("wikipedia").alias("h_wp"),
-        has("wikidata").alias("h_wd"),
-    )
+    # Keep shared expensive intermediates (transliteration chain, trig) in
+    # their own layer: the original single giant projection (13 structs x
+    # tag lookups x the 60-replace chain) fell out of whole-stage codegen
+    # and ran interpreted (~20x slower, measured). Layered small
+    # projections evaluate each shared expression once.
     auth = F.when(is_serbia, F.col("a_name")).otherwise(F.col("a_name_sr"))
-    base = mid.withColumn("auth_lat", cyr2lat_col(auth)).withColumn(
+    base = base.withColumn("auth_lat", cyr2lat_col(auth)).withColumn(
         "w_dist",
         haversine_km_col(F.col("lat"), F.col("lon"), F.col("w_lat"), F.col("w_lon")),
     )
@@ -148,13 +123,13 @@ def lint_verdicts_df(spark, docs, wiki_pages, wikidata_items, maps=DEFAULT_MAPS)
         "is_in:country": "h_isin", "wikipedia": "h_wp", "wikidata": "h_wd",
     }
 
-    def t(key):  # noqa: F811 — rebound to the flattened attributes
+    def t(key):
         return F.col(_flat_t[key])
 
-    def has(key):  # noqa: F811
+    def has(key):
         return F.col(_flat_h[key])
 
-    def nonempty(key):  # noqa: F811
+    def nonempty(key):
         return F.coalesce(t(key), F.lit("")) != ""
 
     place_type = F.coalesce(t("place"), F.lit("(unknown place type)"))

@@ -28,16 +28,20 @@ from ..functions.translit import (
     sql_has_cyrillic,
 )
 from .checks import APPLICABLE_PLACES, DEFAULT_MAPS
-from .spans import with_entity_projection
+from .spans import with_flat_entity
 from .wikiwalk import sql_wiki_guess, wiki_guess_df
 
 
 def proposed_fixes_df(spark, docs, maps=DEFAULT_MAPS):
     from pyspark.sql import functions as F
 
-    ent = with_entity_projection(docs)
-    t = lambda key: F.element_at(F.col("tags"), key)  # noqa: E731
-    has = lambda key: F.map_contains_key(F.col("tags"), key)  # noqa: E731
+    ent = with_flat_entity(docs)
+    _t = {"name": "a_name", "name:sr": "a_name_sr", "name:sr-Latn": "a_latn",
+          "is_in:country": "a_isin", "place": "a_place"}
+    _h = {"name": "h_name", "name:sr": "h_name_sr", "name:sr-Latn": "h_latn",
+          "is_in:country": "h_isin"}
+    t = lambda key: F.col(_t[key])  # noqa: E731
+    has = lambda key: F.col(_h[key])  # noqa: E731
     nonempty = lambda key: F.coalesce(t(key), F.lit("")) != ""  # noqa: E731
 
     base = ent.filter(t("place").isin(*APPLICABLE_PLACES))

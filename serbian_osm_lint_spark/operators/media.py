@@ -49,9 +49,9 @@ def media_payloads_df(spark, docs):
     the media_ref utf-8 — a deterministic stand-in for blob fetch)."""
     from pyspark.sql import functions as F
 
-    from .spans import with_entity_projection
+    from .spans import with_flat_entity
 
-    ent = with_entity_projection(docs)
+    ent = with_flat_entity(docs)
     return ent.select(
         "doc_id",
         F.explode("media_refs").alias("media_ref"),

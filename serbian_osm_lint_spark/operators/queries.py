@@ -38,7 +38,7 @@ from ..functions.translit import (
     sql_latin_name,
     sql_romanize,
 )
-from .spans import with_entity_projection
+from .spans import with_flat_entity
 
 #: (query, center_lat, center_lon, radius_km) — from the wikibase:around
 #: blocks of each .sparql file (e.g. adding_namesr_north.sparql:42-44).
@@ -68,16 +68,15 @@ DESC_INT_NAME = "Entity {0} could be better searchable with int_name"
 def _prep(docs):
     from pyspark.sql import functions as F
 
-    ent = with_entity_projection(docs)
-    t = lambda key: F.element_at(F.col("tags"), key)  # noqa: E731
+    ent = with_flat_entity(docs)
     return ent.select(
         "doc_id",
-        t("name").alias("name"),
-        t("name:sr").alias("name_sr"),
-        t("name:sr-Latn").alias("name_sr_latn"),
-        t("int_name").alias("int_name"),
-        F.map_contains_key(F.col("tags"), "place").alias("has_place"),
-        F.map_contains_key(F.col("tags"), "highway").alias("has_highway"),
+        F.col("a_name").alias("name"),
+        F.col("a_name_sr").alias("name_sr"),
+        F.col("a_latn").alias("name_sr_latn"),
+        F.col("a_int_name").alias("int_name"),
+        F.col("h_place").alias("has_place"),
+        F.col("h_highway").alias("has_highway"),
         "lat",
         "lon",
     )

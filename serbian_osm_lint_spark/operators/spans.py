@@ -54,6 +54,68 @@ def with_entity_projection(docs):
     )
 
 
+#: flat-column aliases for the well-known tag keys (open-world tags stay
+#: available through :func:`with_entity_projection`'s map).
+FLAT_KEYS = {
+    "place": ("a_place", "h_place"),
+    "name": ("a_name", "h_name"),
+    "name:sr": ("a_name_sr", "h_name_sr"),
+    "name:sr-Latn": ("a_latn", "h_latn"),
+    "is_in:country": ("a_isin", "h_isin"),
+    "wikipedia": ("a_wp", "h_wp"),
+    "wikidata": ("a_wd", "h_wd"),
+    "highway": ("a_highway", "h_highway"),
+    "int_name": ("a_int_name", "h_int_name"),
+}
+
+
+def with_flat_entity(docs):
+    """Fast-path projection: the well-known tag keys extracted directly
+    from the spans (prefix match on ``key=``), skipping map construction.
+
+    Measured ~2× cheaper than map-decode+lookups (the HOF expressions are
+    interpreted, so fewer passes win); unused aliases are pruned by
+    Catalyst, so one helper serves every operator. Emits per key a value
+    column (NULL = tag absent; '' = present-empty) and a presence column,
+    plus ``lat``/``lon``, ``media_refs`` (span order kept) and ``osm_id``.
+    """
+    from pyspark.sql import functions as F
+
+    spans = F.col("spans")
+
+    def _hit(pref):
+        # NB: lambdas passed to F.filter must take exactly one arg — a
+        # second parameter (even a default) receives the element INDEX.
+        return F.try_element_at(
+            F.filter(spans, lambda s: (s["kind"] == "tag") & s["text"].startswith(pref)),
+            F.lit(1),
+        )
+
+    cols = []
+    for key, (a, h) in FLAT_KEYS.items():
+        hit = _hit(key + "=")
+        cols.append(F.substring(hit["text"], len(key) + 2, 1000000).alias(a))
+        cols.append(hit.isNotNull().alias(h))
+    geom_first = F.try_element_at(F.filter(spans, lambda s: s["kind"] == "geom"), F.lit(1))[
+        "text"
+    ]
+    media = F.transform(
+        F.array_sort(
+            F.filter(spans, lambda s: s["kind"] == "media"),
+            lambda x, y: x["offset"] - y["offset"],
+        ),
+        lambda s: s["media_ref"],
+    )
+    return docs.select(
+        "*",
+        *cols,
+        F.split_part(geom_first, F.lit(","), F.lit(1)).cast("double").alias("lat"),
+        F.split_part(geom_first, F.lit(","), F.lit(2)).cast("double").alias("lon"),
+        media.alias("media_refs"),
+        F.substring(F.col("doc_id"), 2, 1000000).alias("osm_id"),
+    )
+
+
 def canonical_spans(docs):
     """Spans normalized to a comparable form: sorted by offset, projected to
     the invariant tuple (kind, text, media_ref, order-index). Used by the

@@ -44,7 +44,7 @@ from ..functions.geo import (
     tile_x_col,
     tile_y_col,
 )
-from .spans import with_entity_projection
+from .spans import with_flat_entity
 
 #: toy "Serbia" admin boundary: one concave outer ring + one hole,
 #: (lat, lon) vertices. Stands in for the real admin polygon; the PIP
@@ -155,7 +155,7 @@ def point_in_serbia_df(spark, docs, zoom: int = CELL_ZOOM):
     boundary cells only. Invariant (tested): ≡ exact PIP on every row."""
     from pyspark.sql import functions as F
 
-    ent = with_entity_projection(docs).select("doc_id", "lat", "lon")
+    ent = with_flat_entity(docs).select("doc_id", "lat", "lon")
     cover = cell_cover(zoom)
     cover_df = F.broadcast(
         spark.createDataFrame(
@@ -184,7 +184,7 @@ def point_in_serbia_exact_df(spark, docs):
     """Exact-PIP-everywhere twin (test oracle for the prefiltered path)."""
     from pyspark.sql import functions as F
 
-    ent = with_entity_projection(docs).select("doc_id", "lat", "lon")
+    ent = with_flat_entity(docs).select("doc_id", "lat", "lon")
     pip = _pip_pandas_udf()
     return ent.select("doc_id", pip(F.col("lat"), F.col("lon")).alias("in_serbia"))
 
@@ -193,7 +193,7 @@ def cell_encode_df(spark, docs, zoom: int = CELL_ZOOM):
     """Grid-cell encoding of every doc centroid (the H3/S2 stand-in)."""
     from pyspark.sql import functions as F
 
-    ent = with_entity_projection(docs)
+    ent = with_flat_entity(docs)
     return ent.select(
         "doc_id",
         tile_x_col(F.col("lon"), zoom).alias("cell_x"),
@@ -213,10 +213,10 @@ def knn_dup_names_df(spark, docs, k: int = 5, zoom: int = CELL_ZOOM):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    ent = with_entity_projection(docs)
+    ent = with_flat_entity(docs)
     pts = ent.select(
         "doc_id",
-        F.element_at(F.col("tags"), "name").alias("name"),
+        F.col("a_name").alias("name"),
         "lat",
         "lon",
         tile_x_col(F.col("lon"), zoom).alias("cx"),
@@ -253,7 +253,7 @@ def tile_assignment_df(spark, docs, zoom: int = TILE_ZOOM):
     point — pure projection; the tile key is equi-join-ready."""
     from pyspark.sql import functions as F
 
-    ent = with_entity_projection(docs)
+    ent = with_flat_entity(docs)
     x, y = tile_x_col(F.col("lon"), zoom), tile_y_col(F.col("lat"), zoom)
     return ent.select(
         "doc_id",
@@ -274,7 +274,7 @@ def cell_counts_salted_df(spark, docs, zoom: int = CELL_ZOOM, salt_buckets: int 
     """
     from pyspark.sql import functions as F
 
-    ent = with_entity_projection(docs)
+    ent = with_flat_entity(docs)
     cells = ent.select(
         cell_id_col(F.col("lat"), F.col("lon"), zoom).alias("cell_id"),
         F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)).alias("salt"),

@@ -29,7 +29,7 @@ from ..functions.geo import haversine_km_col, sql_haversine_km
 from ..functions.translit import has_cyrillic_col, sql_has_cyrillic
 from ..synth import CYR_NAMES, HOT2_LAT0, HOT2_LON0, HOT_LAT0, HOT_LON0
 from .checks import APPLICABLE_PLACES
-from .spans import with_entity_projection
+from .spans import with_flat_entity
 
 
 def _guess_dim():
@@ -74,18 +74,20 @@ def wiki_guess_df(spark, docs):
     )
     links = F.broadcast(spark.createDataFrame(GUESS_LINKS, "parent string, ord int, child string"))
 
-    ent = with_entity_projection(docs)
-    t = lambda key: F.element_at(F.col("tags"), key)  # noqa: E731
-    excl = F.map_contains_key(F.col("tags"), "is_in:country") & (
-        t("is_in:country") != "Serbia"
-    )
+    ent = with_flat_entity(docs)
+    excl = F.col("h_isin") & (F.col("a_isin") != "Serbia")
     e = ent.filter(
-        t("place").isin(*APPLICABLE_PLACES)
-        & ~F.map_contains_key(F.col("tags"), "wikipedia")
+        F.col("a_place").isin(*APPLICABLE_PLACES)
+        & ~F.col("h_wp")
         & ~F.coalesce(excl, F.lit(False))
-        & (F.coalesce(t("name"), F.lit("")) != "")
-        & has_cyrillic_col(t("name"))
-    ).select("doc_id", t("name").alias("name"), F.col("lat").alias("e_lat"), F.col("lon").alias("e_lon"))
+        & (F.coalesce(F.col("a_name"), F.lit("")) != "")
+        & has_cyrillic_col(F.col("a_name"))
+    ).select(
+        "doc_id",
+        F.col("a_name").alias("name"),
+        F.col("lat").alias("e_lat"),
+        F.col("lon").alias("e_lon"),
+    )
 
     def valid_win(p_prefix, df, key_col):
         dist = haversine_km_col(
