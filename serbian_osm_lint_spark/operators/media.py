@@ -10,6 +10,14 @@ signature, partition behavior — is real and tested.
 At 10^12 docs this is the pattern for the heavy modality stages: a
 narrow projection feeding ``mapInPandas`` (per-partition Arrow batches),
 no shuffle, output co-partitioned with the input.
+
+Oracle comparability: the feature vector is emitted as FLAT scalar
+columns ``feature_0..feature_7`` (rounded doubles) rather than an
+``array<float>`` — the stub derivation is pure md5 arithmetic, so the
+DuckDB twin (:func:`sql_media_features`) replays it exactly and the
+whole multimodal path is hash-verified end-to-end. Real pipelines
+carrying true embeddings would keep the array column and verify via a
+digest column instead.
 """
 
 from __future__ import annotations
@@ -19,20 +27,19 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-#: schema of the extracted media-feature rows.
-MEDIA_FEATURES_SCHEMA = (
-    "doc_id string, media_ref string, byte_len int, width int, height int, "
-    "feature array<float>"
-)
-
 FEATURE_DIM = 8
 
+#: schema of the extracted media-feature rows (flat doubles: see module doc).
+MEDIA_FEATURES_SCHEMA = (
+    "doc_id string, media_ref string, byte_len int, width int, height int, "
+    + ", ".join(f"feature_{j} double" for j in range(FEATURE_DIM))
+)
 
-def _decode_image_stub(payload: bytes):
+
+def _decode_image_stub(digest: bytes):
     """Deterministic fake decode: (width, height) derived from the payload
-    hash. Raises NotImplementedError if asked for a real decode."""
-    h = hashlib.md5(payload).digest()
-    return 64 + h[0] % 192, 64 + h[1] % 192
+    md5 digest. The real-decode hook is :func:`try_real_decode`."""
+    return 64 + digest[0] % 192, 64 + digest[1] % 192
 
 
 def try_real_decode(payload: bytes):
@@ -60,8 +67,9 @@ def media_payloads_df(spark, docs):
 
 def extract_media_features_df(spark, docs, batch_hint: int = 1024):
     """mapInPandas feature extraction: decode-stub + md5-derived feature
-    vector per media span. Arrow-batched; no per-row Python at the Spark
-    boundary (the loop is inside the vectorizable batch function)."""
+    vector per media span. Arrow-batched; the per-payload md5 loop runs
+    inside the batch function (the real-decode analogue), never at the
+    Spark row boundary."""
     src = media_payloads_df(spark, docs)
 
     def extract(batches):
@@ -69,25 +77,39 @@ def extract_media_features_df(spark, docs, batch_hint: int = 1024):
             n = len(pdf)
             widths = np.empty(n, dtype=np.int32)
             heights = np.empty(n, dtype=np.int32)
-            feats = []
+            feats = np.empty((n, FEATURE_DIM), dtype=np.float64)
             for i, payload in enumerate(pdf["payload"]):
-                w, h = _decode_image_stub(bytes(payload))
-                widths[i] = w
-                heights[i] = h
                 digest = hashlib.md5(bytes(payload)).digest()
-                feats.append(
-                    np.frombuffer(digest[:FEATURE_DIM], dtype=np.uint8).astype(np.float32)
-                    / 255.0
-                )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_ref": pdf["media_ref"],
-                    "byte_len": pdf["payload"].map(len).astype("int32"),
-                    "width": widths,
-                    "height": heights,
-                    "feature": feats,
-                }
-            )
+                widths[i], heights[i] = _decode_image_stub(digest)
+                feats[i] = np.frombuffer(digest[:FEATURE_DIM], dtype=np.uint8) / 255.0
+            out = {
+                "doc_id": pdf["doc_id"],
+                "media_ref": pdf["media_ref"],
+                "byte_len": pdf["payload"].map(len).astype("int32"),
+                "width": widths,
+                "height": heights,
+            }
+            for j in range(FEATURE_DIM):
+                out[f"feature_{j}"] = np.round(feats[:, j], 6)
+            yield pd.DataFrame(out)
 
     return src.mapInPandas(extract, MEDIA_FEATURES_SCHEMA)
+
+
+def sql_media_features(docs_sql: str) -> str:
+    """DuckDB twin: the same md5-derived width/height/features in SQL
+    (hex-slice arithmetic over ``md5(media_ref)``)."""
+
+    def byte(j: int) -> str:
+        return f"CAST(concat('0x', substring(h, {2 * j + 1}, 2)) AS INT)"
+
+    feats = ", ".join(
+        f"round({byte(j)} / 255.0, 6) AS feature_{j}" for j in range(FEATURE_DIM)
+    )
+    return (
+        f"WITH d AS ({docs_sql}), "
+        f"m AS (SELECT doc_id, media_ref, md5(media_ref) AS h FROM d) "
+        f"SELECT doc_id, media_ref, CAST(length(media_ref) AS INT) AS byte_len, "
+        f"CAST(64 + {byte(0)} % 192 AS INT) AS width, "
+        f"CAST(64 + {byte(1)} % 192 AS INT) AS height, {feats} FROM m"
+    )

@@ -80,8 +80,8 @@ def test_media_feature_plumbing(spark):
         assert r.media_ref.startswith("img/")
         assert r.byte_len == len(r.media_ref.encode())
         assert 64 <= r.width < 256 and 64 <= r.height < 256
-        assert len(r.feature) == media.FEATURE_DIM
-        assert all(0.0 <= x <= 1.0 for x in r.feature)
+        feat = [getattr(r, f"feature_{j}") for j in range(media.FEATURE_DIM)]
+        assert all(0.0 <= x <= 1.0 for x in feat)
 
 
 def test_media_decode_stub_gates_real_path():
