@@ -114,7 +114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: dedup.dedup_exact_df(s, d),
         "minhash_signatures": lambda s, d: dedup.minhash_signatures_df(s, d),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs_df(s, d),
-        "simhash": lambda s, d: dedup.simhash_df(s, d),  # rows-only (no oracle)
+        "simhash": lambda s, d: dedup.simhash_df(s, d),
+        "simhash_near_dups": lambda s, d: dedup.simhash_near_dups_df(s, d),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs_df(s, d),
         "embedding_near_dups": lambda s, d: dedup.embedding_near_dups_df(s, d),
         "ann_cosine_topk": lambda s, d: similarity.ann_cosine_topk_df(s, d),
@@ -152,6 +153,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.sql_dedup_exact(),
         "minhash_signatures": dedup.sql_minhash_signatures(),
         "minhash_lsh_pairs": dedup.sql_minhash_lsh_pairs(),
+        "simhash": dedup.sql_simhash(),
+        "simhash_near_dups": dedup.sql_simhash_near_dups(),
         "ngram_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(),
         "embedding_near_dups": dedup.sql_embedding_near_dups(),
         "ann_cosine_topk": similarity.sql_ann_cosine_topk(),

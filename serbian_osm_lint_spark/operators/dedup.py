@@ -4,20 +4,30 @@
 Scale shapes:
   * exact dedup — one shuffle on the 16-byte fingerprint (hash groupBy);
     at 10^12 docs this is the classic map-side-combine count;
-  * MinHash+LSH — signatures are per-row native expressions (no shuffle),
-    banding explodes ``n_bands`` rows per doc, candidate generation is a
-    self-equi-join on the band key (shuffle on band buckets, which are
-    ~uniform by construction), verification re-checks exact Jaccard on
-    the candidate set only;
-  * SimHash — 64-bit signature via vectorized numpy pandas UDF; near-dup
-    = hamming distance ≤ r on banded prefix buckets (Spark-only — no SQL
-    oracle; bit-level parity across engines isn't worth the contortion);
-  * n-gram Jaccard — exact word-3-gram Jaccard on LSH candidates.
+  * MinHash+LSH — signatures are per-row native expressions (no shuffle);
+    banding explodes ``n_bands`` rows per doc carrying the shingle array,
+    candidate pairs come from ONE self-equi-join on the band key (the
+    exchange is built once and reused for both sides — scan-once), and
+    exact Jaccard is verified inline from the carried shingles. Band
+    buckets are ~uniform by construction; AQE skew-join covers hot bands.
+  * SimHash — 64-bit signature via a vectorized pandas UDF (unique words
+    hashed once per Arrow batch); near-dup lookup = hamming ≤ r inside
+    16-bit prefix buckets (equi-join, never all-pairs). Both faces have
+    DuckDB twins (md5 hex-slice arithmetic + per-bit majority in SQL).
+  * n-gram Jaccard — exact word-3-gram Jaccard over the SAME MinHash-LSH
+    candidate generator (band-bucket equi-join), with its own looser
+    exact-score threshold. Never quadratic: the pair space is bounded by
+    band-bucket collisions, not by document count.
+  * embedding near-dups — deterministic random-hyperplane sign buckets
+    (8 planes → 256 buckets) block the corpus; exact cosine inside the
+    bucket. Recall < 1 by construction (a near-dup straddling a
+    hyperplane is missed); the oracle replays the identical spec.
 
 The driver corpus has no natural duplicates, so the dedup queries run
-over :func:`with_near_dups` — the corpus unioned with deterministic
+over :func:`with_near_dups_df` — the corpus unioned with deterministic
 mutated/exact copies (same derivation in both engines), which gives the
-operators live positives at every scale.
+operators live positives at every scale. Embeddings likewise get
+perturbed copies via :func:`with_emb_dups_df`.
 """
 
 from __future__ import annotations
@@ -28,6 +38,11 @@ import pandas as pd
 N_HASHES = 8
 N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 2
 JACCARD_THRESHOLD = 0.5
+NGRAM_JACCARD_THRESHOLD = 0.3
+SIMHASH_PREFIX_BITS = 16
+SIMHASH_HAMMING_R = 3
+COSINE_DUP_THRESHOLD = 0.9
+N_DUP_PLANES = 8  # 256 sign buckets for embedding near-dup blocking
 
 
 # ----------------------------------------------------------- corpus prep
@@ -127,8 +142,9 @@ def _sql_shingles(text: str) -> str:
     )
 
 
-def minhash_signatures_df(spark, sf_dir: str):
-    """(doc_id, sig_0..sig_7): min-hash signatures from md5 hex chunks.
+def _shingled_sig_df(spark, sf_dir: str):
+    """(doc_id, shingles, sig_0..sig_7): ONE shingle derivation feeding
+    both the signatures and (via the carried array) Jaccard verification.
 
     Cost discipline: md5 is the expensive op, so each shingle gets TWO
     md5s (``md5(s)``, ``md5(s || '#')``) and the 8 "permutations" are the
@@ -145,6 +161,7 @@ def minhash_signatures_df(spark, sf_dir: str):
     sh = docs.select("doc_id", _shingles_col(F.col("text")).alias("shingles"))
     sh = sh.select(
         "doc_id",
+        "shingles",
         F.transform(F.col("shingles"), lambda s: F.md5(s)).alias("h1"),
         F.transform(F.col("shingles"), lambda s: F.md5(F.concat(s, F.lit("#")))).alias("h2"),
     )
@@ -154,7 +171,12 @@ def minhash_signatures_df(spark, sf_dir: str):
         off = (i % 4) * 8 + 1
         return F.array_min(F.transform(src, lambda h: F.substring(h, off, 8))).alias(f"sig_{i}")
 
-    return sh.select("doc_id", *[_sig(i) for i in range(N_HASHES)])
+    return sh.select("doc_id", "shingles", *[_sig(i) for i in range(N_HASHES)])
+
+
+def minhash_signatures_df(spark, sf_dir: str):
+    """(doc_id, sig_0..sig_7): min-hash signatures (see _shingled_sig_df)."""
+    return _shingled_sig_df(spark, sf_dir).drop("shingles")
 
 
 def sql_minhash_signatures() -> str:
@@ -173,18 +195,11 @@ def sql_minhash_signatures() -> str:
     )
 
 
-def minhash_lsh_pairs_df(spark, sf_dir: str):
-    """LSH candidates (band-bucket equi-join) verified by exact Jaccard.
-
-    Output: (doc_id_a, doc_id_b, jaccard) with jaccard ≥ threshold.
-    """
+def _band_keys_col():
     from pyspark.sql import functions as F
 
-    docs = with_near_dups_df(spark, sf_dir)
-    sh = docs.select("doc_id", _shingles_col(F.col("text")).alias("shingles"))
-    sig = minhash_signatures_df(spark, sf_dir)
     rows_per_band = N_HASHES // N_BANDS
-    band_keys = F.array(
+    return F.array(
         *[
             F.md5(
                 F.concat_ws(
@@ -196,34 +211,43 @@ def minhash_lsh_pairs_df(spark, sf_dir: str):
             for b in range(N_BANDS)
         ]
     )
-    banded = sig.select("doc_id", F.explode(band_keys).alias("band_key"))
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), "band_key")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+
+
+def _lsh_verified_pairs_df(spark, sf_dir: str, threshold: float):
+    """LSH candidates (band-bucket self-equi-join) verified by exact
+    word-3-gram Jaccard, carried inline.
+
+    Plan shape: docs are scanned ONCE — both join sides are the same
+    banded subtree, so Spark reuses the exchange; the only data motion is
+    one shuffle of (doc_id, shingles, band_key) on the band key, then a
+    small distinct over the surviving pairs. Output
+    (doc_id_a, doc_id_b, jaccard) with jaccard ≥ threshold.
+    """
+    from pyspark.sql import functions as F
+
+    s = _shingled_sig_df(spark, sf_dir)
+    banded = s.select("doc_id", "shingles", F.explode(_band_keys_col()).alias("band_key"))
+    left = banded.select(
+        "band_key", F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")
+    )
+    right = banded.select(
+        "band_key", F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        6,
+    )
+    return (
+        left.join(right, "band_key")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
         .distinct()
     )
-    a_sh = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
-    b_sh = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
-    verified = (
-        cand.join(a_sh, "doc_id_a")
-        .join(b_sh, "doc_id_b")
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
-    return verified
 
 
-def sql_minhash_lsh_pairs() -> str:
+def _sql_lsh_verified_pairs(threshold: float) -> str:
     rows_per_band = N_HASHES // N_BANDS
     band_cols = ", ".join(
         "md5('{b}' || '|' || ".format(b=b)
@@ -233,36 +257,57 @@ def sql_minhash_lsh_pairs() -> str:
     )
     band_list = ", ".join(f"band_{b}" for b in range(N_BANDS))
     sh = _sql_shingles("text")
+    jac = (
+        "round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(a.shingles, b.shingles))), 6)"
+    )
     return f"""
     WITH sig AS ({sql_minhash_signatures()}),
-    banded AS (
-      SELECT doc_id, unnest([{band_list}]) AS band_key
-      FROM (SELECT doc_id, {band_cols} FROM sig)
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-      FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ),
     d AS ({sql_with_near_dups()}),
-    sh AS (SELECT doc_id, {sh} AS shingles FROM d)
-    SELECT c.doc_id_a, c.doc_id_b,
-           round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-                 / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
-    FROM cand c
-    JOIN sh x ON x.doc_id = c.doc_id_a
-    JOIN sh y ON y.doc_id = c.doc_id_b
-    WHERE round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-                / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) >= {JACCARD_THRESHOLD}
+    shd AS (SELECT doc_id, {sh} AS shingles FROM d),
+    banded AS (
+      SELECT s.doc_id, shd.shingles, unnest([{band_list}]) AS band_key
+      FROM (SELECT doc_id, {band_cols} FROM sig) s JOIN shd ON shd.doc_id = s.doc_id
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, {jac} AS jaccard
+    FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE {jac} >= {threshold}
     """
+
+
+def minhash_lsh_pairs_df(spark, sf_dir: str):
+    """MinHash-LSH near-dup pairs at the MinHash design threshold."""
+    return _lsh_verified_pairs_df(spark, sf_dir, JACCARD_THRESHOLD)
+
+
+def sql_minhash_lsh_pairs() -> str:
+    return _sql_lsh_verified_pairs(JACCARD_THRESHOLD)
+
+
+def ngram_jaccard_pairs_df(spark, sf_dir: str):
+    """Exact word-3-gram Jaccard over the MinHash-LSH candidate set with
+    a looser exact-score threshold — the exact-verification face of the
+    same candidate generator (band-bucket equi-join, never all-pairs)."""
+    return _lsh_verified_pairs_df(spark, sf_dir, NGRAM_JACCARD_THRESHOLD)
+
+
+def sql_ngram_jaccard_pairs() -> str:
+    return _sql_lsh_verified_pairs(NGRAM_JACCARD_THRESHOLD)
 
 
 # --------------------------------------------------------------- simhash
 def simhash_df(spark, sf_dir: str):
     """64-bit SimHash per doc via a vectorized pandas UDF (Arrow batches).
 
-    Spark-only (rows-only driver check): md5-derived per-word 64-bit
-    hashes, bit-majority vote. Near-dup lookup joins on the 16-bit
-    prefix bucket then filters hamming ≤ 3 (not materialized here).
+    Spec (replayed bit-exactly by :func:`sql_simhash`): per doc, the
+    DISTINCT whitespace-split words each hash to the first 8 bytes of
+    ``md5(word)`` (big-endian uint64); bit b of the signature is set iff
+    strictly more than half the distinct words have bit b set. Wordless
+    docs hash to 0. Stored as the int64 reinterpretation.
+
+    Vectorization: unique words are hashed ONCE per Arrow batch (shared
+    vocabulary), bit expansion is one numpy broadcast over the vocab, and
+    each doc reduces to an index-gather + column sum.
     """
     from pyspark.sql import functions as F
 
@@ -270,20 +315,27 @@ def simhash_df(spark, sf_dir: str):
     def simhash(text: pd.Series) -> pd.Series:
         import hashlib
 
+        vocab_index: dict[str, int] = {}
+        doc_word_idx = []
+        for t in text:
+            idxs = [
+                vocab_index.setdefault(w, len(vocab_index)) for w in set(t.split())
+            ]
+            doc_word_idx.append(np.asarray(idxs, dtype=np.int64))
+        if vocab_index:
+            hv = np.empty(len(vocab_index), dtype=np.uint64)
+            for w, i in vocab_index.items():
+                hv[i] = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            bit_positions = np.arange(64, dtype=np.uint64)
+            bits = ((hv[:, None] >> bit_positions[None, :]) & np.uint64(1)).astype(np.int64)
+            weights = (np.uint64(1) << bit_positions)
         out = np.zeros(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            words = t.split()
-            if not words:
+        for i, idxs in enumerate(doc_word_idx):
+            n = len(idxs)
+            if n == 0:
                 continue
-            acc = np.zeros(64, dtype=np.int64)
-            for w in set(words):
-                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big", signed=False)
-                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            sig = np.uint64(0)
-            for b in range(64):
-                if acc[b] > 0:
-                    sig |= np.uint64(1) << np.uint64(b)
+            ones = bits[idxs].sum(axis=0)
+            sig = ((2 * ones > n).astype(np.uint64) * weights).sum(dtype=np.uint64)
             out[i] = sig.astype(np.int64)
         return pd.Series(out)
 
@@ -294,87 +346,122 @@ def simhash_df(spark, sf_dir: str):
     )
 
 
-# ----------------------------------------------------- n-gram Jaccard dedup
-NGRAM_JACCARD_THRESHOLD = 0.3
-
-
-def ngram_jaccard_pairs_df(spark, sf_dir: str):
-    """Blocked exact word-3-gram Jaccard: candidate pairs share a length
-    bucket (n_chars//64, plus the neighbor bucket) — the classic
-    blocking-key trick that keeps the pair space linear-ish; near-dups
-    rarely differ much in length. Output (doc_id_a, doc_id_b, jaccard).
+def sql_simhash() -> str:
+    """DuckDB twin: per-word uint64 from the md5 hex prefix, per-bit
+    majority vote, bit 63 folded in as int64 min (two's-complement)."""
+    counts = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE 0 END) AS c{b}" for b in range(64)
+    )
+    low_bits = " + ".join(f"(CASE WHEN 2 * c{b} > n THEN {1 << b} ELSE 0 END)" for b in range(63))
+    return f"""
+    WITH d AS ({sql_with_near_dups()}),
+    w AS (
+      SELECT doc_id, CAST(concat('0x', substring(md5(word), 1, 16)) AS UBIGINT) AS h
+      FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS word FROM d)
+      WHERE word <> ''
+    ),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, {counts} FROM w GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id,
+             CAST({low_bits} AS BIGINT)
+             + (CASE WHEN 2 * c63 > n THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END) AS simhash
+      FROM agg
+    )
+    SELECT d.doc_id, coalesce(sig.simhash, 0) AS simhash
+    FROM d LEFT JOIN sig ON sig.doc_id = d.doc_id
     """
+
+
+def simhash_near_dups_df(spark, sf_dir: str):
+    """SimHash near-dup pairs: equi-join on the 16-bit prefix bucket,
+    then hamming(a, b) ≤ r via native bit_count(xor). Blocking recall:
+    a near-dup pair differing inside the prefix is missed (documented;
+    production would probe all 4 16-bit bands). Output
+    (doc_id_a, doc_id_b, hamming)."""
     from pyspark.sql import functions as F
 
-    docs = with_near_dups_df(spark, sf_dir)
-    sh = docs.select(
-        "doc_id",
-        _shingles_col(F.col("text")).alias("shingles"),
-        (F.length("text") / F.lit(64)).cast("long").alias("bucket"),
+    sig = simhash_df(spark, sf_dir)
+    shift = 64 - SIMHASH_PREFIX_BITS
+    mask = (1 << SIMHASH_PREFIX_BITS) - 1
+    b = sig.select(
+        "doc_id", "simhash", F.shiftright("simhash", shift).bitwiseAND(F.lit(mask)).alias("bucket")
     )
-    left = sh.select(
-        F.col("doc_id").alias("doc_id_a"),
-        F.col("shingles").alias("sh_a"),
-        F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("bucket"),
-    )
-    right = sh.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"), "bucket"
-    )
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-        6,
-    )
+    left = b.select("bucket", F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("s_a"))
+    right = b.select("bucket", F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("s_b"))
+    ham = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
     return (
         left.join(right, "bucket")
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
-        .distinct()
+        .select("doc_id_a", "doc_id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_R)
     )
 
 
-def sql_ngram_jaccard_pairs() -> str:
-    sh = _sql_shingles("text")
-    jac = (
-        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) "
-        "/ len(list_distinct(list_concat(a.sh, b.sh))), 6)"
-    )
+def sql_simhash_near_dups() -> str:
+    shift = 64 - SIMHASH_PREFIX_BITS
+    mask = (1 << SIMHASH_PREFIX_BITS) - 1
     return f"""
-    WITH d AS ({sql_with_near_dups()}),
-    sh AS (SELECT doc_id, {sh} AS sh,
-                  CAST(floor(length(text) / 64) AS BIGINT) AS bucket FROM d),
-    lhs AS (
-      SELECT doc_id AS doc_id_a, sh, unnest([bucket, bucket + 1]) AS bucket FROM sh
-    )
-    SELECT DISTINCT a.doc_id_a, b.doc_id AS doc_id_b, {jac} AS jaccard
-    FROM lhs a JOIN sh b ON a.bucket = b.bucket AND a.doc_id_a < b.doc_id
-    WHERE {jac} >= {NGRAM_JACCARD_THRESHOLD}
+    WITH s AS ({sql_simhash()}),
+    b AS (SELECT doc_id, simhash, (simhash >> {shift}) & {mask} AS bucket FROM s)
+    SELECT a.doc_id AS doc_id_a, b2.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+    WHERE bit_count(xor(a.simhash, b2.simhash)) <= {SIMHASH_HAMMING_R}
     """
 
 
 # ------------------------------------------------ embedding-cosine near-dup
-COSINE_DUP_THRESHOLD = 0.9
-
-
-def embedding_near_dups_df(spark, sf_dir: str):
-    """Embedding near-duplicates: same-label (IVF-style) blocking, exact
-    cosine >= threshold inside the block. Output (vec_id_a, vec_id_b, cosine).
-    """
+def with_emb_dups_df(spark, sf_dir: str):
+    """embeddings ∪ perturbed copies (vec_id%5==0, dim 0 scaled by 1.05,
+    id offset +10^6) — deterministic live positives for near-dup ops."""
     from pyspark.sql import functions as F
 
-    from .similarity import _cosine, _to_double
+    from .similarity import EMB_DIM, _to_double
 
     emb = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select("vec_id", "label", _to_double(F.col("embedding")).alias("v"))
+        .select("vec_id", _to_double(F.col("embedding")).alias("v"))
         .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     )
-    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"), "label")
-    b = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"), "label")
+    perturbed = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(F.col("v"), 1) * 1.05), F.slice(F.col("v"), 2, EMB_DIM - 1)
+        ).alias("v"),
+    )
+    return emb.unionByName(perturbed)
+
+
+def sql_with_emb_dups() -> str:
+    return (
+        "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, "
+        "list_concat([v[1] * 1.05], v[2:]) AS v "
+        "FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) WHERE vec_id % 5 = 0"
+    )
+
+
+def embedding_near_dups_df(spark, sf_dir: str):
+    """Embedding near-duplicates: deterministic random-hyperplane sign
+    buckets (8 planes → 256 buckets) block the corpus; exact cosine ≥
+    threshold inside the bucket. Output (vec_id_a, vec_id_b, cosine).
+
+    Scale shape: one shuffle on the bucket key (self-equi-join with
+    exchange reuse); pair space bounded by bucket collisions. Recall < 1
+    by construction — a plane through a near-dup pair splits it; the
+    DuckDB oracle replays the identical spec."""
+    from pyspark.sql import functions as F
+
+    from .similarity import _cosine, sign_bucket_col
+
+    emb = with_emb_dups_df(spark, sf_dir).withColumn(
+        "bucket", sign_bucket_col(F.col("v"), N_DUP_PLANES)
+    )
+    a = emb.select("bucket", F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
+    b = emb.select("bucket", F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
     cos = _cosine(F.col("va"), F.col("vb"))
     return (
-        a.join(b, "label")
+        a.join(b, "bucket")
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
         .select("vec_id_a", "vec_id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
@@ -382,12 +469,13 @@ def embedding_near_dups_df(spark, sf_dir: str):
 
 
 def sql_embedding_near_dups() -> str:
-    from .similarity import _sql_cosine
+    from .similarity import _sql_cosine, sql_sign_bucket
 
     cos = _sql_cosine("a.v", "b.v")
     return f"""
-    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH emb AS (SELECT vec_id, v, {sql_sign_bucket('v', N_DUP_PLANES)} AS bucket
+                 FROM ({sql_with_emb_dups()}))
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, {cos} AS cosine
-    FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {cos} >= {COSINE_DUP_THRESHOLD}
     """

@@ -33,8 +33,8 @@ def _lcg_weight(plane: int, dim: int) -> float:
     return ((x % 2001) - 1000) / 1000.0
 
 
-def _hyperplanes() -> list[list[float]]:
-    return [[_lcg_weight(p, d) for d in range(EMB_DIM)] for p in range(N_PLANES)]
+def _hyperplanes(n_planes: int = N_PLANES) -> list[list[float]]:
+    return [[_lcg_weight(p, d) for d in range(EMB_DIM)] for p in range(n_planes)]
 
 
 # ------------------------------------------------------------------ spark
@@ -56,6 +56,26 @@ def _cosine(a, b):
     from pyspark.sql import functions as F
 
     return F.round(_dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6)
+
+
+def sign_bucket_col(v, n_planes: int = N_PLANES):
+    """Random-hyperplane sign bucket of a double-array column: bit p is
+    set iff dot(v, plane_p) > 0. Deterministic (LCG planes, no RNG)."""
+    from pyspark.sql import functions as F
+
+    bucket = None
+    for i, plane in enumerate(_hyperplanes(n_planes)):
+        term = (_dot(v, F.array(*[F.lit(w) for w in plane])) > 0).cast("int") * (1 << i)
+        bucket = term if bucket is None else bucket + term
+    return bucket
+
+
+def sql_sign_bucket(v: str, n_planes: int = N_PLANES) -> str:
+    bit_terms = []
+    for i, plane in enumerate(_hyperplanes(n_planes)):
+        arr = "[" + ", ".join(repr(w) for w in plane) + "]"
+        bit_terms.append(f"(CASE WHEN {_sql_dot(v, arr)} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bit_terms) + ")"
 
 
 def ann_cosine_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
@@ -90,19 +110,10 @@ def ann_lsh_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIE
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    planes = _hyperplanes()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _to_double(F.col("embedding")).alias("v")
     )
-    bucket_bits = [
-        (_dot(F.col("v"), F.array(*[F.lit(w) for w in plane])) > 0).cast("int")
-        for plane in planes
-    ]
-    bucket = None
-    for i, b in enumerate(bucket_bits):
-        term = b * (1 << i)
-        bucket = term if bucket is None else bucket + term
-    emb = emb.withColumn("bucket", bucket)
+    emb = emb.withColumn("bucket", sign_bucket_col(F.col("v"), N_PLANES))
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
     )
@@ -153,12 +164,7 @@ def sql_ann_cosine_topk(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
 
 
 def sql_ann_lsh_topk(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
-    planes = _hyperplanes()
-    bit_terms = []
-    for i, plane in enumerate(planes):
-        arr = "[" + ", ".join(repr(w) for w in plane) + "]"
-        bit_terms.append(f"(CASE WHEN {_sql_dot('v', arr)} > 0 THEN {1 << i} ELSE 0 END)")
-    bucket = " + ".join(bit_terms)
+    bucket = sql_sign_bucket("v", N_PLANES)
     cos = _sql_cosine("q.qv", "e.v")
     return f"""
     WITH emb AS (SELECT vec_id, v, {bucket} AS bucket FROM ({_SQL_EMB})),

@@ -48,6 +48,28 @@ def test_knn_is_equi_join(spark):
     )
 
 
+def test_ngram_jaccard_joins_on_band_bucket(spark):
+    """VERDICT r1: n-gram Jaccard must candidate-generate via the LSH band
+    bucket (equi-join), never an all-pairs/length-bucket block."""
+    from serbian_osm_lint_spark.operators import dedup
+
+    plan = _plan(dedup.ngram_jaccard_pairs_df(spark, SF_SMALL))
+    assert "NestedLoop" not in plan
+    assert "band_key" in plan  # the equi-join key is the LSH band bucket
+    assert "bucket" not in plan.lower().replace("band_key", "")  # no length bucket
+
+
+def test_embedding_near_dups_joins_on_sign_bucket(spark):
+    """VERDICT r1: embedding near-dup blocking must be the hyperplane sign
+    bucket, not the (skewable) label column."""
+    from serbian_osm_lint_spark.operators import dedup
+
+    plan = _plan(dedup.embedding_near_dups_df(spark, SF_SMALL))
+    assert "NestedLoop" not in plan
+    assert "bucket" in plan
+    assert "label" not in plan
+
+
 def test_salted_agg_splits_hot_cell(spark):
     """SURVEY §7.3: the hot cells must actually trigger the salted path —
     the partial (cell, salt) aggregation must hold the hot cell in many
