@@ -58,7 +58,11 @@ def load_tpch(spark, sf_dir: str, name: str):
 
 
 #: bump when the synth derivation changes (invalidates cached doc tables).
-SYNTH_VERSION = "v2"
+SYNTH_VERSION = "v3"
+
+#: number of hash-bucket partitions the stored doc table is laid out in —
+#: the parquet stand-in for Iceberg's ``bucket(N, doc_id)`` transform.
+N_DOC_BUCKETS = 8
 
 
 def _cache_root() -> str:
@@ -80,17 +84,35 @@ def docs_table(spark, sf_dir: str):
     shape and (b) blow up Catalyst planning time — the synthesis
     expression tree gets duplicated through self-joins. Materialized once
     per (sf_dir, SYNTH_VERSION), then every query is a plain columnar scan
-    with pushdown. Partitioned by a doc_id hash bucket — the stand-in for
-    Iceberg's ``bucket(doc_id)`` partition transform at cluster scale.
+    with pushdown.
+
+    PARTITIONED by ``bucket_id = pmod(xxhash64(doc_id), N_DOC_BUCKETS)``
+    — the parquet stand-in for Iceberg's ``bucket(doc_id)`` partition
+    transform. A filter on ``bucket_id`` becomes partition PRUNING
+    (only that bucket's files are read), which is what makes
+    :func:`..streaming.resume.run_resumable` resume without re-scanning
+    the full table per bucket.
     """
+    from pyspark.sql import functions as F
+
     from .. import synth
 
     key = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(_cache_root(), f"docs_{key}_{SYNTH_VERSION}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        write_table(synth.docs_df(spark, sf_dir).repartition(n_parts, "doc_id"), path)
+        bucketed = synth.docs_df(spark, sf_dir).withColumn(
+            "bucket_id", F.pmod(F.xxhash64("doc_id"), F.lit(N_DOC_BUCKETS))
+        )
+        write_table(
+            bucketed.repartition(N_DOC_BUCKETS, "bucket_id"),
+            path,
+            partition_by=["bucket_id"],
+        )
+        # partitioned writes emit no top-level _SUCCESS under some
+        # committers; stamp one explicitly so the cache check is stable.
+        if not os.path.exists(marker):
+            open(marker, "w").close()
     return read_table(spark, path)
 
 

@@ -59,17 +59,31 @@ def run_resumable(
     pipeline (e.g. lint verdicts). Completed buckets are skipped on
     re-run. ``fail_after=k`` aborts after k buckets (test hook for
     kill/resume). Returns the number of buckets processed this run.
+
+    Pruning: when ``docs`` carries the stored ``bucket_id`` partition
+    column (``catalog.docs_table`` lays the table out that way), the
+    per-bucket filter is a PARTITION filter — each bucket's run reads
+    only that bucket's files instead of re-scanning the whole table
+    (n_buckets× read amplification otherwise). The ad-hoc hash fallback
+    remains for un-partitioned inputs; the derivation is identical
+    (``pmod(xxhash64(doc_id), n_buckets)``), content-hash, never RNG.
     """
     from pyspark.sql import functions as F
 
     manifest = BucketManifest(os.path.join(out_dir, "_manifest"))
     done = set(manifest.done_buckets())
-    bucketed = docs.withColumn("_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)))
+    bucket_col = "bucket_id" if "bucket_id" in docs.columns else "_bucket"
+    if bucket_col == "_bucket":
+        bucketed = docs.withColumn(
+            "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
+        )
+    else:
+        bucketed = docs
     processed = 0
     for b in range(n_buckets):
         if b in done:
             continue
-        subset = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
+        subset = bucketed.filter(F.col(bucket_col) == b).drop(bucket_col)
         result = process_fn(spark, subset)
         path = os.path.join(out_dir, f"bucket={b}")
         result.write.mode("overwrite").parquet(path)

@@ -48,6 +48,29 @@ def test_knn_is_equi_join(spark):
     )
 
 
+def test_bucket_filter_is_partition_pruning(spark):
+    """VERDICT r1: the stored doc table is partitioned by the doc_id hash
+    bucket; a per-bucket filter (the resume unit of work) must prune to
+    that bucket's files, not re-scan the table."""
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark.sources import catalog
+
+    docs = catalog.docs_table(spark, SF_SMALL)
+    sub = docs.filter(F.col("bucket_id") == 3)
+    plan = _plan(sub)
+    assert "PartitionFilters" in plan and "bucket_id" in plan.split("PartitionFilters")[1][:120]
+    # runtime proof: the filter selects exactly the one partition directory
+    import glob
+    import os
+
+    location = plan.split("InMemoryFileIndex [file:")[1].split("]")[0].split(",")[0]
+    part_dirs = glob.glob(os.path.join(location, "bucket_id=*"))
+    assert len(part_dirs) == catalog.N_DOC_BUCKETS
+    one_bucket = spark.read.parquet(os.path.join(location, "bucket_id=3")).count()
+    assert 0 < one_bucket == sub.count() < docs.count()
+
+
 def test_ngram_jaccard_joins_on_band_bucket(spark):
     """VERDICT r1: n-gram Jaccard must candidate-generate via the LSH band
     bucket (equi-join), never an all-pairs/length-bucket block."""
