@@ -55,13 +55,19 @@ APPLICABLE_PLACES = ("city", "town", "village")
 
 CHECK_MODULE = "checks"
 
+#: the reference's place-infobox template list (src/checks.py:539-540),
+#: joined as in the CalculateDistanceException message (src/checks.py:31-33).
+VALID_BOXES = "Насељено место у Србији,Град у Србији,Градска четврт"
+
 
 def lint_verdicts_df(spark, docs, wiki_pages, wikidata_items, maps=DEFAULT_MAPS):
     """Long-format verdict table for all checks over all maps.
 
     ``docs`` is the interleaved document table; dims are small and
-    broadcast. Returns columns
-    (doc_id, map_name, check_name, result, message, fixable).
+    broadcast. Returns columns (doc_id, entity_type, display_name,
+    map_name, check_name, result, message, fixable) — entity_type and
+    display_name follow reference ``src/sources/osm_source.py:40-43``
+    (name or id, with ``' / ' + name:sr`` appended when present).
     """
     from pyspark.sql import functions as F
 
@@ -218,11 +224,15 @@ def lint_verdicts_df(spark, docs, wiki_pages, wikidata_items, maps=DEFAULT_MAPS)
     )
 
     # C8 — WikipediaEntryValidCheck (src/checks.py:498-551) + distance gate
-    # (src/checks.py:19-43): page-missing / missing-coords / >20 km cases.
+    # (src/checks.py:19-43): page-missing / no-valid-infobox / missing-
+    # coords / >20 km, in the reference's precedence order.
     c8_gate = has("name") & has("wikipedia") & t("wikipedia").startswith("sr:") & ~excl
     dist = F.col("w_dist")
     c8_err = c8_gate & (
-        F.col("w_title").isNull() | F.col("w_lat").isNull() | (dist > 20.0)
+        F.col("w_title").isNull()
+        | ~F.col("has_box")
+        | F.col("w_lat").isNull()
+        | (dist > 20.0)
     )
     c8_msg = (
         F.when(
@@ -232,6 +242,14 @@ def lint_verdicts_df(spark, docs, wiki_pages, wikidata_items, maps=DEFAULT_MAPS)
                 F.col("wp_title"),
                 place_type,
                 name_or_id,
+            ),
+        )
+        .when(
+            ~F.col("has_box"),
+            F.format_string(
+                "Cannot calculate distance as Wikipedia article %s does not contain any of valid boxes %s",
+                F.col("wp_title"),
+                F.lit(VALID_BOXES),
             ),
         )
         .when(
@@ -324,10 +342,24 @@ def lint_verdicts_df(spark, docs, wiki_pages, wikidata_items, maps=DEFAULT_MAPS)
             for name, cond, msg, fixable in checks
         ]
     )
+    # display name (reference src/sources/osm_source.py:40-43): name if the
+    # tag is PRESENT (even empty) else the numeric id; ' / name:sr' appended
+    # when present. The report's entity listing sorts on this.
+    disp_base = F.when(has("name"), t("name")).otherwise(F.col("osm_id"))
+    display_name = F.when(
+        has("name:sr"), F.concat(disp_base, F.lit(" / "), t("name:sr"))
+    ).otherwise(disp_base)
+
     out = base.select(
-        "doc_id", "map_name", F.explode(verdicts).alias("v")
+        "doc_id",
+        "entity_type",
+        display_name.alias("display_name"),
+        "map_name",
+        F.explode(verdicts).alias("v"),
     ).select(
         "doc_id",
+        "entity_type",
+        "display_name",
         "map_name",
         F.col("v.check_name").alias("check_name"),
         F.col("v.result").alias("result"),
@@ -414,9 +446,11 @@ def sql_lint_verdicts(docs_sql: str, wiki_sql: str, wd_sql: str, maps=DEFAULT_MA
         (
             "checks.WikipediaEntryValidCheck",
             f"({has('name')} AND {has('wikipedia')} AND starts_with(d.wikipedia, 'sr:') "
-            f"AND NOT {excl} AND (w.title IS NULL OR w.w_lat IS NULL OR {dist} > 20.0))",
+            f"AND NOT {excl} AND (w.title IS NULL OR NOT w.has_box OR w.w_lat IS NULL OR {dist} > 20.0))",
             f"(CASE WHEN w.title IS NULL THEN "
             f"printf('Wikipedia entry %s is not valid for %s %s', {wp_title}, {place_type}, {name_or_id}) "
+            f"WHEN NOT w.has_box THEN "
+            f"printf('Cannot calculate distance as Wikipedia article %s does not contain any of valid boxes {VALID_BOXES}', {wp_title}) "
             f"WHEN w.w_lat IS NULL THEN "
             f"printf('Wikipedia entry %s is missing latitude or longitude', {wp_title}) "
             f"ELSE printf('Wikipedia and OSM entries are more than 20km apart (%.2f km) for place %s.', "
@@ -457,10 +491,19 @@ def sql_lint_verdicts(docs_sql: str, wiki_sql: str, wd_sql: str, maps=DEFAULT_MA
             "true",
         ),
     ]
+    entity_type = (
+        "CASE substring(d.doc_id, 1, 1) WHEN 'n' THEN 'node' "
+        "WHEN 'w' THEN 'way' ELSE 'relation' END"
+    )
+    display_name = (
+        f"((CASE WHEN d.name IS NOT NULL THEN d.name ELSE CAST(d.k AS VARCHAR) END) || "
+        f"(CASE WHEN d.name_sr IS NOT NULL THEN ' / ' || d.name_sr ELSE '' END))"
+    )
     selects = []
     for name, cond, msg, fixable in rows:
         selects.append(
-            f"SELECT d.doc_id, m.map_name, '{name}' AS check_name, "
+            f"SELECT d.doc_id, {entity_type} AS entity_type, "
+            f"{display_name} AS display_name, m.map_name, '{name}' AS check_name, "
             f"CASE WHEN coalesce({cond}, false) THEN 'CHECKED_ERROR' ELSE 'CHECKED_OK' END AS result, "
             f"CASE WHEN coalesce({cond}, false) THEN {msg} ELSE '' END AS message, "
             f"CASE WHEN coalesce({cond}, false) THEN {fixable} ELSE false END AS fixable "

@@ -117,7 +117,16 @@ def merge_first_wins_df(verdicts):
         verdicts.select(overall, "*")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("overall_map", "doc_id", "check_name", "result", "message", "fixable")
+        .select(
+            "overall_map",
+            "doc_id",
+            "entity_type",
+            "display_name",
+            "check_name",
+            "result",
+            "message",
+            "fixable",
+        )
     )
 
 
@@ -157,7 +166,8 @@ def sql_per_check_report(verdicts_sql: str) -> str:
 
 def sql_merge_first_wins(verdicts_sql: str) -> str:
     return (
-        f"SELECT overall_map, doc_id, check_name, result, message, fixable FROM ("
+        f"SELECT overall_map, doc_id, entity_type, display_name, check_name, "
+        f"result, message, fixable FROM ("
         f"SELECT split_part(map_name, ' (', 1) AS overall_map, *, "
         f"row_number() OVER (PARTITION BY split_part(map_name, ' (', 1), doc_id, check_name "
         f"ORDER BY map_name) AS rn FROM ({verdicts_sql})) WHERE rn = 1"

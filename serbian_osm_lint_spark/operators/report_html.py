@@ -52,9 +52,10 @@ _TEMPLATE = """<!doctype html>
 
 <h2>Errors ({{ errors|length }} shown)</h2>
 <table>
-<tr><th>map</th><th>entity</th><th>check</th><th>message</th><th>fixable</th></tr>
+<tr><th>map</th><th>entity</th><th>type</th><th>id</th><th>check</th><th>message</th><th>fixable</th></tr>
 {% for e in errors %}
-<tr class="err"><td>{{ e.overall_map }}</td><td>{{ e.doc_id }}</td>
+<tr class="err"><td>{{ e.overall_map }}</td><td>{{ e.display_name }}</td>
+<td>{{ e.entity_type }}</td><td>{{ e.doc_id }}</td>
 <td>{{ e.check_name }}</td><td>{{ e.message }}</td><td>{{ e.fixable }}</td></tr>
 {% endfor %}
 </table>
@@ -78,11 +79,14 @@ def render_report(spark, verdicts, out_path: str, max_rows: int = 1000) -> str:
     summary = summary_report_df(verdicts).collect()[0].asDict()
     countries = [r.asDict() for r in per_map_report_df(verdicts).collect()]
     check_types = [r.asDict() for r in per_check_report_df(spark, verdicts).collect()]
+    # entity listing sorted by display name within a map, like the
+    # reference's OrderedDict(sorted(..., key=lambda c: c[1][0]))
+    # (src/main.py:114-118); doc_id breaks display-name ties stably.
     errors = [
         r.asDict()
         for r in merge_first_wins_df(verdicts)
         .filter(F.col("result") == "CHECKED_ERROR")
-        .orderBy("overall_map", "doc_id", "check_name")
+        .orderBy("overall_map", "display_name", "doc_id", "check_name")
         .limit(max_rows)
         .collect()
     ]

@@ -15,6 +15,20 @@ Equivalent of reference entity normalization ``src/osm_lint_entity.py:14-58``
 from __future__ import annotations
 
 
+def entity_type_col(doc_id_col):
+    """doc_id prefix ⇒ entity type ∈ {node, way, relation} — the engine's
+    analogue of reference ``src/osm_lint_entity.py:60-87`` (type detection
+    from the source record class / URL)."""
+    from pyspark.sql import functions as F
+
+    first = F.substring(doc_id_col, 1, 1)
+    return (
+        F.when(first == "n", F.lit("node"))
+        .when(first == "w", F.lit("way"))
+        .otherwise(F.lit("relation"))
+    )
+
+
 def with_entity_projection(docs):
     """Project tags/geom/media out of ``spans`` (no shuffle, codegen only).
 
@@ -51,6 +65,7 @@ def with_entity_projection(docs):
             F.transform(F.filter(spans, lambda s: s["kind"] == "media"), lambda s: s["media_ref"]),
         )
         .withColumn("osm_id", F.substring(F.col("doc_id"), 2, 1000000))
+        .withColumn("entity_type", entity_type_col(F.col("doc_id")))
     )
 
 
@@ -113,6 +128,7 @@ def with_flat_entity(docs):
         F.split_part(geom_first, F.lit(","), F.lit(2)).cast("double").alias("lon"),
         media.alias("media_refs"),
         F.substring(F.col("doc_id"), 2, 1000000).alias("osm_id"),
+        entity_type_col(F.col("doc_id")).alias("entity_type"),
     )
 
 

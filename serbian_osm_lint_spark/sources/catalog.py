@@ -58,7 +58,7 @@ def load_tpch(spark, sf_dir: str, name: str):
 
 
 #: bump when the synth derivation changes (invalidates cached doc tables).
-SYNTH_VERSION = "v3"
+SYNTH_VERSION = "v4"
 
 #: number of hash-bucket partitions the stored doc table is laid out in —
 #: the parquet stand-in for Iceberg's ``bucket(N, doc_id)`` transform.

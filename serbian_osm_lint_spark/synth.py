@@ -56,6 +56,14 @@ PRIME_LAT, PRIME_LON = 7919, 104729
 
 
 # --------------------------------------------------------------- python
+def entity_prefix_py(k: int) -> str:
+    """doc_id prefix ⇒ entity type: n=node (most), w=way, r=relation —
+    mirrors the reference's three entity types (src/osm_lint_entity.py:60-87).
+    Modulus 11 is coprime to every other attribute modulus (decorrelated)."""
+    m = k % 11
+    return "n" if m < 7 else ("w" if m < 10 else "r")
+
+
 def scalar_tags_py(k: int) -> dict:
     """Plain-Python reference derivation for one entity (tests only)."""
     i = k % 16
@@ -80,7 +88,7 @@ def scalar_tags_py(k: int) -> dict:
         lat = BG_LAT0 + ((k * PRIME_LAT) % 4400) / 1000.0
         lon = BG_LON0 + ((k * PRIME_LON) % 4700) / 1000.0
     return {
-        "doc_id": f"n{k}", "k": k, "place": place, "name": name,
+        "doc_id": f"{entity_prefix_py(k)}{k}", "k": k, "place": place, "name": name,
         "name:sr": name_sr, "name:sr-Latn": name_sr_latn,
         "is_in:country": is_in, "wikipedia": wikipedia,
         "wikidata": wikidata, "highway": highway, "int_name": int_name,
@@ -151,8 +159,11 @@ def _scalar_tags_from_keys(cust):
         .otherwise(F.lit(BG_LON0) + ((k * PRIME_LON) % 4700) / F.lit(1000.0))
     )
 
+    prefix = (
+        F.when(k % 11 < 7, F.lit("n")).when(k % 11 < 10, F.lit("w")).otherwise(F.lit("r"))
+    )
     return cust.select(
-        F.concat(F.lit("n"), k.cast("string")).alias("doc_id"),
+        F.concat(prefix, k.cast("string")).alias("doc_id"),
         k,
         _arr(PLACES + [None]).alias("place"),
         F.when(k % 7 == 0, F.lit(None).cast("string"))
@@ -249,11 +260,14 @@ def _encode_spans(st):
 
 
 def wiki_pages_df(spark, sf_dir: str):
-    """Static Wikipedia snapshot dimension (title, lat, lon, wikidata_q).
+    """Static Wikipedia snapshot dimension (title, has_box, lat, lon,
+    wikidata_q).
 
-    One row per ``sr:``-tagged document title (k%8==0). Coordinates:
-    k%21==0 → ~111 km away (>20 km gate fails, C8), k%21==1 → no coords
-    (distance incomputable, C8 error), else ~1 km (pass).
+    One row per ``sr:``-tagged document title (k%8==0). Shapes:
+    k%21==0 → ~111 km away (>20 km gate fails, C8), k%21==1 → box present
+    but no coords (гшир/гдуж missing, C8 error), k%21==2 → no place
+    infobox at all (CalculateDistanceException 'no valid boxes', C8
+    error), else ~1 km (pass).
     """
     from pyspark.sql import functions as F
 
@@ -261,6 +275,7 @@ def wiki_pages_df(spark, sf_dir: str):
     k = F.col("k")
     return st.select(
         F.substring(F.col("wikipedia"), 4, 1000000).alias("title"),
+        (k % 21 != 2).alias("has_box"),
         F.when(k % 21 == 0, F.col("lat") + 1.0)
         .when(k % 21 == 1, F.lit(None).cast("double"))
         .otherwise(F.col("lat") + 0.01)
@@ -311,7 +326,8 @@ def sql_scalar_tags() -> str:
     title = f"({cyr} || ' ' || CAST(k AS VARCHAR))"
     return f"""
     SELECT
-      'n' || CAST(k AS VARCHAR) AS doc_id,
+      (CASE WHEN k % 11 < 7 THEN 'n' WHEN k % 11 < 10 THEN 'w' ELSE 'r' END)
+        || CAST(k AS VARCHAR) AS doc_id,
       k,
       CASE (k % 6) WHEN 0 THEN 'city' WHEN 1 THEN 'town' WHEN 2 THEN 'village'
                    WHEN 3 THEN 'suburb' WHEN 4 THEN 'CiTy' ELSE NULL END AS place,
@@ -349,6 +365,7 @@ def sql_wiki_pages() -> str:
     title = f"({cyr} || ' ' || CAST(k AS VARCHAR))"
     return f"""
     SELECT {title} AS title,
+           (k % 21 <> 2) AS has_box,
            CASE WHEN k % 21 = 0 THEN lat + 1.0
                 WHEN k % 21 = 1 THEN NULL ELSE lat + 0.01 END AS w_lat,
            CASE WHEN k % 21 = 0 THEN lon

@@ -58,7 +58,7 @@ def make_docs(spark, rows):
 @pytest.fixture(scope="session")
 def empty_dims(spark):
     wiki = spark.createDataFrame(
-        [], "title string, w_lat double, w_lon double, wikidata_q string"
+        [], "title string, has_box boolean, w_lat double, w_lon double, wikidata_q string"
     )
     wd = spark.createDataFrame([], "q_id string, label_sr string")
     return wiki, wd
