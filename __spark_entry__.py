@@ -91,6 +91,12 @@ def _docs(spark, sf_dir):
     return catalog.docs_table(spark, sf_dir)
 
 
+def _dims(spark, sf_dir):
+    from serbian_osm_lint_spark.sources import catalog
+
+    return catalog.dims_tables(spark, sf_dir)
+
+
 def _mk_pipeline(name):
     return lambda spark, sf_dir: q29.ALL_PIPELINES[name](spark, _docs(spark, sf_dir))
 
@@ -126,7 +132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": lambda s, d: events.sessionize_df(s, d),
         # J3 disambiguation walk + S8 proposed fixes
         "wiki_guess": lambda s, d: wikiwalk.wiki_guess_df(s, _docs(s, d)),
-        "proposed_fixes": lambda s, d: fixes.proposed_fixes_df(s, _docs(s, d)),
+        "proposed_fixes": lambda s, d: fixes.proposed_fixes_df(
+            s, _docs(s, d), _dims(s, d)[0]
+        ),
         # F8/P10: Sophox binding parsers with malformed-row skip
         "parse_sophox_rows": lambda s, d: osm_parsers.parse_sophox_rows_df(s, d),
     }
@@ -163,7 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": events.sql_events_windowed(),
         "sessionize": events.sql_sessionize(),
         "wiki_guess": wikiwalk.sql_wiki_guess(d),
-        "proposed_fixes": fixes.sql_proposed_fixes(d),
+        "proposed_fixes": fixes.sql_proposed_fixes(d, synth.sql_wiki_pages()),
         "parse_sophox_rows": osm_parsers.sql_parse_sophox_rows(),
     }
     for name in q29.ALL_PIPELINES:

@@ -59,12 +59,19 @@ def _guess_dim():
 GUESS_PAGES, GUESS_LINKS = _guess_dim()
 
 
-def wiki_guess_df(spark, docs):
-    """C6-fix guesses: (doc_id, name, guess_title, depth).
+def wiki_guess_df(spark, docs, wikipedia_mode: str = "missing"):
+    """Disambiguation-walk guesses: (doc_id, name, guess_title, depth).
 
-    Eligibility mirrors the fix gates (``src/checks.py:401-407``): entity
-    applicable, wikipedia tag absent (the C6 error), in-country, name
-    present and Cyrillic.
+    ``wikipedia_mode`` selects which fix the guesses feed:
+      * ``"missing"`` — C6 (WikipediaEntryExistsCheck.fix,
+        ``src/checks.py:401-432``): wikipedia tag absent;
+      * ``"non_sr"`` — C7 (WikipediaEntryIsInSerbianCheck.fix,
+        ``src/checks.py:476-494``): wikipedia present but not ``sr:``.
+
+    Shared eligibility mirrors the fix gates: entity applicable,
+    in-country, name present and Cyrillic. Documented approximation
+    (same as the C6 emission): the walk always uses the ``name`` tag;
+    the reference uses ``name:sr`` on non-Serbia maps.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -76,9 +83,15 @@ def wiki_guess_df(spark, docs):
 
     ent = with_flat_entity(docs)
     excl = F.col("h_isin") & (F.col("a_isin") != "Serbia")
+    if wikipedia_mode == "missing":
+        wp_pred = ~F.col("h_wp")
+    elif wikipedia_mode == "non_sr":
+        wp_pred = F.col("h_wp") & ~F.col("a_wp").startswith("sr:")
+    else:
+        raise ValueError(wikipedia_mode)
     e = ent.filter(
         F.col("a_place").isin(*APPLICABLE_PLACES)
-        & ~F.col("h_wp")
+        & wp_pred
         & ~F.coalesce(excl, F.lit(False))
         & (F.coalesce(F.col("a_name"), F.lit("")) != "")
         & has_cyrillic_col(F.col("a_name"))
@@ -152,9 +165,16 @@ def wiki_guess_df(spark, docs):
 
 
 # ---------------------------------------------------------------------- sql
-def sql_wiki_guess(docs_sql: str) -> str:
+def sql_wiki_guess(docs_sql: str, wikipedia_mode: str = "missing") -> str:
     def esc(s):
         return s.replace("'", "''")
+
+    if wikipedia_mode == "missing":
+        wp_pred = "wikipedia IS NULL"
+    elif wikipedia_mode == "non_sr":
+        wp_pred = "(wikipedia IS NOT NULL AND NOT starts_with(wikipedia, 'sr:'))"
+    else:
+        raise ValueError(wikipedia_mode)
 
     pages_vals = ", ".join(
         f"('{esc(t)}', {str(d).lower()}, "
@@ -172,7 +192,7 @@ def sql_wiki_guess(docs_sql: str) -> str:
     links(parent, ord, child) AS (VALUES {links_vals}),
     e AS (
       SELECT doc_id, name, lat AS e_lat, lon AS e_lon FROM ({docs_sql})
-      WHERE place IN ('city', 'town', 'village') AND wikipedia IS NULL
+      WHERE place IN ('city', 'town', 'village') AND {wp_pred}
         AND NOT (is_in_country IS NOT NULL AND is_in_country <> 'Serbia')
         AND coalesce(name, '') <> '' AND {sql_has_cyrillic('name')}
     ),

@@ -46,7 +46,8 @@ def test_proposed_fixes_consistent_with_verdicts(spark):
     from serbian_osm_lint_spark.sources import catalog
 
     docs = catalog.docs_table(spark, SF_SMALL)
-    fx = fixes.proposed_fixes_df(spark, docs).collect()
+    wiki, _ = catalog.dims_tables(spark, SF_SMALL)
+    fx = fixes.proposed_fixes_df(spark, docs, wiki).collect()
     assert len(fx) > 0
     verdicts = {
         (r.doc_id, r.map_name, r.check_name): (r.result, r.fixable)
@@ -67,5 +68,7 @@ def test_proposed_fixes_consistent_with_verdicts(spark):
             assert cyr2lat_py(r.new_val) == r.new_val  # already latin
         elif r.tag == "wikipedia":
             assert r.new_val.startswith("sr:")
+        elif r.tag == "wikidata":
+            assert r.new_val.startswith("Q")
         elif r.tag == "is_in:country":
             assert r.new_val == "Serbia"
