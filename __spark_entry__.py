@@ -140,6 +140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for name in q29.ALL_PIPELINES:
         q[f"sparql_{name}"] = _mk_pipeline(name)
+    # C13 full suggestion/metadata model (flattened for the oracle; the
+    # struct-typed face is q29.multi_suggestion_df, covered in pytest)
+    q["sparql_multi_suggestion"] = lambda s, d: q29.multi_suggestion_flat_df(
+        s, _docs(s, d)
+    )
     return q
 
 
@@ -176,4 +181,5 @@ def oracle_sql() -> dict[str, str]:
     }
     for name in q29.ALL_PIPELINES:
         o[f"sparql_{name}"] = q29.sql_pipeline(d, name)
+    o["sparql_multi_suggestion"] = q29.sql_multi_suggestion(d)
     return o

@@ -189,6 +189,185 @@ def adding_int_name_df(spark, docs):
     )
 
 
+# ------------------------------------------------- C13 suggestion model
+#: RDF boolean datatype — a val_N bound to 'false' with this datatype is a
+#: DELETE-tag suggestion (reference ``src/checks.py:752-754``).
+XSD_BOOLEAN = "http://www.w3.org/2001/XMLSchema#boolean"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+METADATA_RE = r"#defaultView:Editor\s*(.*)"
+METADATA_SCHEMA = "comment string, check_description string, vote boolean"
+
+MULTI_SUGGESTION_COMMENT = (
+    "Fixing mistransliterated name:sr-Latn and dropping stale int_name"
+)
+MULTI_SUGGESTION_DESC = (
+    "Entity {0} is having name:sr-Latn tag that is not consistent with name:sr tag"
+)
+#: synthetic multi-suggestion query text — the ``#defaultView:Editor``
+#: header carries the metadata JSON exactly like the reference queries
+#: (e.g. ``sparql/adding_int_name.sparql:1``; parsed at
+#: ``src/sources/sophox_source.py:11,29-32``).
+MULTI_SUGGESTION_QUERY = (
+    '#defaultView:Editor{ "comment":"' + MULTI_SUGGESTION_COMMENT + '", '
+    '"check_description": "' + MULTI_SUGGESTION_DESC + '", "vote":false }\n'
+    "SELECT ?id ?loc ?name ?tag_1 ?val_1 ?tag_2 ?val_2 WHERE { ... }"
+)
+
+
+def metadata_col(query_text_col):
+    """``tags['metadata']`` as a typed struct column: the JSON payload of
+    the ``#defaultView:Editor`` header (src/sources/sophox_source.py:29-32)."""
+    from pyspark.sql import functions as F
+
+    return F.from_json(F.regexp_extract(query_text_col, METADATA_RE, 1), METADATA_SCHEMA)
+
+
+def suggestions_col(pairs):
+    """Positional (tag_N, val_N, val_N_datatype) families → the
+    ``array<struct<tag, val, is_delete>>`` suggestion model.
+
+    Semantics replicated from the reference:
+      * per-row stop at the first missing ``tag_N``
+        (``src/checks.py:730-736`` while-loop break);
+      * RDF boolean ``false`` ⇒ delete-tag, val → NULL
+        (``src/checks.py:752-754``).
+    """
+    from pyspark.sql import functions as F
+
+    structs = []
+    seen = F.lit(True)
+    for tag, val, dt in pairs:
+        seen = seen & tag.isNotNull()
+        is_del = F.coalesce((val == "false") & (dt == XSD_BOOLEAN), F.lit(False))
+        structs.append(
+            F.when(
+                seen,
+                F.struct(
+                    tag.alias("tag"),
+                    F.when(is_del, F.lit(None).cast("string")).otherwise(val).alias("val"),
+                    is_del.alias("is_delete"),
+                ),
+            )
+        )
+    return F.filter(F.array(*structs), lambda s: s.isNotNull())
+
+
+def multi_suggestion_df(spark, docs):
+    """C13 with the full suggestion/metadata model: a synthetic pipeline
+    whose rows carry TWO suggestions — modify ``name:sr-Latn`` to the
+    correct transliteration, and (when the tag exists) DELETE the stale
+    ``int_name`` via an RDF boolean-false binding.
+
+    Output: (doc_id, name, lat, lon, metadata struct, suggestions array,
+    message). Use :func:`multi_suggestion_flat_df` for the
+    oracle-comparable flattened face.
+    """
+    from pyspark.sql import functions as F
+
+    p = _prep(docs)
+    rows = p.filter(
+        F.col("name_sr").isNotNull()
+        & has_cyrillic_col(F.col("name_sr"))
+        & F.col("name_sr_latn").isNotNull()
+        & (cyr2lat_col(F.col("name_sr")) != F.col("name_sr_latn"))
+        & _within("changing_namesr_to_cyrillic")
+    )
+    has_int = F.col("int_name").isNotNull()
+    bindings = rows.select(
+        "doc_id",
+        "name",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        F.lit("name:sr-Latn").alias("tag_1"),
+        cyr2lat_col(F.col("name_sr")).alias("val_1"),
+        F.lit(XSD_STRING).alias("val_1_dt"),
+        F.when(has_int, F.lit("int_name")).alias("tag_2"),
+        F.when(has_int, F.lit("false")).alias("val_2"),
+        F.when(has_int, F.lit(XSD_BOOLEAN)).alias("val_2_dt"),
+    )
+    sugg = suggestions_col(
+        [
+            (F.col("tag_1"), F.col("val_1"), F.col("val_1_dt")),
+            (F.col("tag_2"), F.col("val_2"), F.col("val_2_dt")),
+        ]
+    )
+    # message = check_description.format(name) (src/checks.py:713-717);
+    # name falls back to the id for nameless entities (src/checks.py:714).
+    name_or_id = F.coalesce(F.col("name"), F.expr("substring(doc_id, 2)"))
+    return bindings.select(
+        "doc_id",
+        "name",
+        "lat",
+        "lon",
+        metadata_col(F.lit(MULTI_SUGGESTION_QUERY)).alias("metadata"),
+        sugg.alias("suggestions"),
+        F.format_string(MULTI_SUGGESTION_DESC.replace("{0}", "%s"), name_or_id).alias(
+            "message"
+        ),
+    )
+
+
+def multi_suggestion_flat_df(spark, docs):
+    """Oracle face: suggestions exploded to scalar rows, metadata fields
+    as scalar columns (the driver canonicalizer cannot hash arrays)."""
+    from pyspark.sql import functions as F
+
+    d = multi_suggestion_df(spark, docs)
+    return d.select(
+        "doc_id",
+        "name",
+        "lat",
+        "lon",
+        "message",
+        F.col("metadata.comment").alias("comment"),
+        F.col("metadata.check_description").alias("check_description"),
+        F.col("metadata.vote").alias("vote"),
+        F.posexplode("suggestions").alias("sugg_idx", "s"),
+    ).select(
+        "doc_id",
+        "name",
+        "lat",
+        "lon",
+        "message",
+        "comment",
+        "check_description",
+        "vote",
+        F.col("sugg_idx").cast("int").alias("sugg_idx"),
+        F.col("s.tag").alias("tag"),
+        F.col("s.val").alias("val"),
+        F.col("s.is_delete").alias("is_delete"),
+    )
+
+
+def sql_multi_suggestion(docs_sql: str) -> str:
+    """DuckDB twin of the flattened multi-suggestion pipeline."""
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    msg = MULTI_SUGGESTION_DESC.replace("'", "''").replace("{0}", "%s")
+    within = _sql_within("changing_namesr_to_cyrillic")
+    elig = (
+        f"SELECT * FROM ({docs_sql}) d WHERE d.name_sr IS NOT NULL "
+        f"AND {sql_has_cyrillic('d.name_sr')} AND d.name_sr_latn IS NOT NULL "
+        f"AND {sql_cyr2lat('d.name_sr')} <> d.name_sr_latn AND {within}"
+    )
+    common = (
+        f"e.doc_id, e.name, round(e.lat, 6) AS lat, round(e.lon, 6) AS lon, "
+        f"printf('{msg}', coalesce(e.name, substring(e.doc_id, 2))) AS message, "
+        f"'{esc(MULTI_SUGGESTION_COMMENT)}' AS comment, "
+        f"'{esc(MULTI_SUGGESTION_DESC)}' AS check_description, false AS vote"
+    )
+    s1 = (
+        f"SELECT {common}, 0 AS sugg_idx, 'name:sr-Latn' AS tag, "
+        f"{sql_cyr2lat('e.name_sr')} AS val, false AS is_delete FROM elig e"
+    )
+    s2 = (
+        f"SELECT {common}, 1 AS sugg_idx, 'int_name' AS tag, "
+        f"CAST(NULL AS VARCHAR) AS val, true AS is_delete FROM elig e "
+        f"WHERE e.int_name IS NOT NULL"
+    )
+    return f"WITH elig AS ({elig}) {s1} UNION ALL {s2}"
+
+
 ALL_PIPELINES = {
     "adding_name": adding_name_df,
     "changing_namesr_to_cyrillic": changing_namesr_to_cyrillic_df,
