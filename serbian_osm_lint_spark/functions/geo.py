@@ -92,14 +92,28 @@ def neighbor_cells_col(cell_x, cell_y, zoom=CELL_ZOOM):
     nearby entities in adjacent cells still pair up (J8) — an equi-join
     on cell id, which scales (shuffle on a well-distributed key) instead
     of a theta-join.
+
+    Edge discipline (round-1 ADVICE): neighbors falling outside the tile
+    grid (y < 0, y ≥ 2^z, and likewise x) are DROPPED, never wrapped —
+    packing an out-of-range delta would collide with an adjacent row's
+    cell id. Antimeridian adjacency is deliberately not modeled (the
+    corpus is Serbia-bounded); the DuckDB oracle's abs-delta join has the
+    same linear-edge semantics.
     """
     from pyspark.sql import functions as F
 
+    n = 1 << zoom
     cells = []
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
-            cells.append(F.shiftleft(cell_x + F.lit(dx), zoom) + (cell_y + F.lit(dy)))
-    return F.array(*cells)
+            nx, ny = cell_x + F.lit(dx), cell_y + F.lit(dy)
+            cells.append(
+                F.when(
+                    (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n),
+                    F.shiftleft(nx, zoom) + ny,
+                )
+            )
+    return F.filter(F.array(*cells), lambda c: c.isNotNull())
 
 
 # -------------------------------------------------------------------- sql

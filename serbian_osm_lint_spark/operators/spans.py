@@ -93,10 +93,23 @@ def with_flat_entity(docs):
     Catalyst, so one helper serves every operator. Emits per key a value
     column (NULL = tag absent; '' = present-empty) and a presence column,
     plus ``lat``/``lon``, ``media_refs`` (span order kept) and ``osm_id``.
+
+    Spans are offset-sorted ONCE up front (round-1 ADVICE), so first-hit
+    semantics (duplicate keys, first geom span) agree with
+    :func:`with_entity_projection` / :func:`canonical_spans` even when
+    the stored array order differs from offset order.
     """
     from pyspark.sql import functions as F
 
-    spans = F.col("spans")
+    # own projection layer: the sorted array binds as an attribute, so the
+    # sort evaluates once per row instead of once per consuming expression
+    docs = docs.select(
+        "*",
+        F.array_sort(F.col("spans"), lambda a, b: a["offset"] - b["offset"]).alias(
+            "_spans_sorted"
+        ),
+    )
+    spans = F.col("_spans_sorted")
 
     def _hit(pref):
         # NB: lambdas passed to F.filter must take exactly one arg — a
@@ -115,11 +128,7 @@ def with_flat_entity(docs):
         "text"
     ]
     media = F.transform(
-        F.array_sort(
-            F.filter(spans, lambda s: s["kind"] == "media"),
-            lambda x, y: x["offset"] - y["offset"],
-        ),
-        lambda s: s["media_ref"],
+        F.filter(spans, lambda s: s["kind"] == "media"), lambda s: s["media_ref"]
     )
     return docs.select(
         "*",
@@ -129,7 +138,7 @@ def with_flat_entity(docs):
         media.alias("media_refs"),
         F.substring(F.col("doc_id"), 2, 1000000).alias("osm_id"),
         entity_type_col(F.col("doc_id")).alias("entity_type"),
-    )
+    ).drop("_spans_sorted")
 
 
 def canonical_spans(docs):

@@ -31,8 +31,12 @@ def _update_user(key, pdf_iter, state):
         last_epoch, n_sessions, n_events = state.get
     else:
         last_epoch, n_sessions, n_events = None, 0, 0
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["epoch", "event_id"])
+    # materialize ALL Arrow chunks before sorting: a user whose batch rows
+    # span multiple chunks must be replayed in global time order, or the
+    # session count diverges from the batch sessionize_df (round-1 ADVICE).
+    chunks = list(pdf_iter)
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["epoch", "event_id"])
         for e in pdf["epoch"]:
             e = int(e)
             if last_epoch is None or e - last_epoch > SESSION_GAP_SEC:
