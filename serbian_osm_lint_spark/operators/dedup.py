@@ -142,9 +142,10 @@ def _sql_shingles(text: str) -> str:
     )
 
 
-def _shingled_sig_df(spark, sf_dir: str):
-    """(doc_id, shingles, sig_0..sig_7): ONE shingle derivation feeding
-    both the signatures and (via the carried array) Jaccard verification.
+def _shingled_sig_from(texts):
+    """(doc_id, shingles, sig_0..sig_7) from any (doc_id, text) frame:
+    ONE shingle derivation feeding both the signatures and (via the
+    carried array) Jaccard verification.
 
     Cost discipline: md5 is the expensive op, so each shingle gets TWO
     md5s (``md5(s)``, ``md5(s || '#')``) and the 8 "permutations" are the
@@ -157,8 +158,7 @@ def _shingled_sig_df(spark, sf_dir: str):
     """
     from pyspark.sql import functions as F
 
-    docs = with_near_dups_df(spark, sf_dir)
-    sh = docs.select("doc_id", _shingles_col(F.col("text")).alias("shingles"))
+    sh = texts.select("doc_id", _shingles_col(F.col("text")).alias("shingles"))
     sh = sh.select(
         "doc_id",
         "shingles",
@@ -175,8 +175,8 @@ def _shingled_sig_df(spark, sf_dir: str):
 
 
 def minhash_signatures_df(spark, sf_dir: str):
-    """(doc_id, sig_0..sig_7): min-hash signatures (see _shingled_sig_df)."""
-    return _shingled_sig_df(spark, sf_dir).drop("shingles")
+    """(doc_id, sig_0..sig_7): min-hash signatures (see _shingled_sig_from)."""
+    return _shingled_sig_from(with_near_dups_df(spark, sf_dir)).drop("shingles")
 
 
 def sql_minhash_signatures() -> str:
@@ -213,9 +213,9 @@ def _band_keys_col():
     )
 
 
-def _lsh_verified_pairs_df(spark, sf_dir: str, threshold: float):
+def lsh_verified_pairs_from(texts, threshold: float = JACCARD_THRESHOLD):
     """LSH candidates (band-bucket self-equi-join) verified by exact
-    word-3-gram Jaccard, carried inline.
+    word-3-gram Jaccard, carried inline, over any (doc_id, text) frame.
 
     Plan shape: docs are scanned ONCE — both join sides are the same
     banded subtree, so Spark reuses the exchange; the only data motion is
@@ -225,7 +225,7 @@ def _lsh_verified_pairs_df(spark, sf_dir: str, threshold: float):
     """
     from pyspark.sql import functions as F
 
-    s = _shingled_sig_df(spark, sf_dir)
+    s = _shingled_sig_from(texts)
     banded = s.select("doc_id", "shingles", F.explode(_band_keys_col()).alias("band_key"))
     left = banded.select(
         "band_key", F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")
@@ -277,7 +277,7 @@ def _sql_lsh_verified_pairs(threshold: float) -> str:
 
 def minhash_lsh_pairs_df(spark, sf_dir: str):
     """MinHash-LSH near-dup pairs at the MinHash design threshold."""
-    return _lsh_verified_pairs_df(spark, sf_dir, JACCARD_THRESHOLD)
+    return lsh_verified_pairs_from(with_near_dups_df(spark, sf_dir), JACCARD_THRESHOLD)
 
 
 def sql_minhash_lsh_pairs() -> str:
@@ -288,7 +288,9 @@ def ngram_jaccard_pairs_df(spark, sf_dir: str):
     """Exact word-3-gram Jaccard over the MinHash-LSH candidate set with
     a looser exact-score threshold — the exact-verification face of the
     same candidate generator (band-bucket equi-join, never all-pairs)."""
-    return _lsh_verified_pairs_df(spark, sf_dir, NGRAM_JACCARD_THRESHOLD)
+    return lsh_verified_pairs_from(
+        with_near_dups_df(spark, sf_dir), NGRAM_JACCARD_THRESHOLD
+    )
 
 
 def sql_ngram_jaccard_pairs() -> str:

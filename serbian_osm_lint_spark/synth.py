@@ -259,6 +259,37 @@ def _encode_spans(st):
     return st.select("doc_id", spans.alias("spans"))
 
 
+def texts_range_df(spark, n: int, partitions: int = 64, words_per_doc: int = 24):
+    """Arbitrary-scale (doc_id, text) corpus for dedup/minhash scaling
+    runs (the driver's ``documents`` table is fixed at ~500 rows).
+
+    Deterministic word soup with a planted duplicate structure: every
+    5th doc repeats its predecessor's text (exact dup), every 7th
+    appends a mutation token (near dup) — linear pair counts at every
+    scale, live LSH positives, no RNG. The per-doc word offset is a
+    quadratic residue mod 1e9+7 so distinct docs land on distinct
+    residues (a small linear modulus would collapse the corpus into
+    identical-text classes and make the LSH pair space quadratic).
+    """
+    from pyspark.sql import functions as F
+
+    big_mod = 1_000_000_007
+    keys = spark.range(1, n + 1, 1, partitions).select(F.col("id").alias("k"))
+    base = F.when(F.col("k") % 5 == 0, F.col("k") - 1).otherwise(F.col("k"))
+    offset = (base * base % F.lit(big_mod)) * F.lit(PRIME_LAT) % F.lit(big_mod)
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(words_per_doc)),
+        lambda i: F.concat(
+            F.lit("w"), ((offset + i.cast("long") * PRIME_LON) % big_mod).cast("string")
+        ),
+    )
+    text = F.concat_ws(" ", words)
+    text = F.when(
+        F.col("k") % 7 == 0, F.concat(text, F.lit(" zz"), (F.col("k") % 3).cast("string"))
+    ).otherwise(text)
+    return keys.select(F.col("k").alias("doc_id"), text.alias("text"))
+
+
 def wiki_pages_df(spark, sf_dir: str):
     """Static Wikipedia snapshot dimension (title, has_box, lat, lon,
     wikidata_q).
