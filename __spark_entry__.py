@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": lambda s, d: dedup.embedding_near_dups_df(s, d),
         "ann_cosine_topk": lambda s, d: similarity.ann_cosine_topk_df(s, d),
         "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk_df(s, d),
+        "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk_df(s, d),
         "media_features": lambda s, d: media.extract_media_features_df(s, _docs(s, d)),
         # event-stream operators (batch faces; streaming twins in tests)
         "events_windowed": lambda s, d: events.events_windowed_df(s, d),
@@ -172,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": dedup.sql_embedding_near_dups(),
         "ann_cosine_topk": similarity.sql_ann_cosine_topk(),
         "ann_lsh_topk": similarity.sql_ann_lsh_topk(),
+        "ann_ivf_topk": similarity.sql_ann_ivf_topk(),
         "media_features": media.sql_media_features(d),
         "events_windowed": events.sql_events_windowed(),
         "sessionize": events.sql_sessionize(),

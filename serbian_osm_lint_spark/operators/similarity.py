@@ -133,6 +133,87 @@ def ann_lsh_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIE
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def _centroid(c: int) -> list[float]:
+    """Deterministic pseudo-centroid c: LCG weights at plane offset 1000."""
+    return [_lcg_weight(1000 + c, d) for d in range(EMB_DIM)]
+
+
+def _centroid_norms() -> list[float]:
+    import math
+
+    return [math.sqrt(sum(w * w for w in _centroid(c))) for c in range(N_CENTROIDS)]
+
+
+def centroid_scores_col(v):
+    """Array of N_CENTROIDS rounded normalized-dot scores for a vector."""
+    from pyspark.sql import functions as F
+
+    norms = _centroid_norms()
+    return F.array(
+        *[
+            F.round(
+                _dot(v, F.array(*[F.lit(w) for w in _centroid(c)])) / F.lit(norms[c]), 6
+            )
+            for c in range(N_CENTROIDS)
+        ]
+    )
+
+
+def ann_ivf_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
+    """IVF-style ANN: corpus vectors are assigned to their best of 16
+    deterministic centroids (one shuffle on the centroid id); each query
+    probes its top-``N_PROBE`` centroids and re-ranks candidates by exact
+    cosine. The classic coarse-quantizer scale path: per-query work is
+    bounded by the probed cells, recall < 1 by construction, and the
+    DuckDB oracle replays the identical deterministic spec.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", _to_double(F.col("embedding")).alias("v"))
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    )
+    scored = emb.withColumn("cscores", centroid_scores_col(F.col("v")))
+    corpus = scored.select(
+        "vec_id",
+        "v",
+        F.array_position(F.col("cscores"), F.array_max("cscores")).alias("cell"),
+    )
+    # queries: top-N_PROBE centroids each (explode + window — engine-robust
+    # top-n; an array-sort top-n would tie-break differently across engines)
+    qs = scored.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.posexplode("cscores").alias("pos", "score"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("pos"))
+    probes = (
+        qs.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qv", (F.col("pos") + 1).alias("cell"))
+    )
+    cand = corpus.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored_pairs = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine(F.col("qv"), F.col("v")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored_pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # -------------------------------------------------------------------- sql
 _SQL_EMB = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
 
@@ -155,6 +236,42 @@ def sql_ann_cosine_topk(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
     scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cosine
       FROM emb e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def sql_centroid_scores(v: str) -> str:
+    norms = _centroid_norms()
+    scores = ", ".join(
+        f"round({_sql_dot(v, '[' + ', '.join(repr(w) for w in _centroid(c)) + ']')} / {norms[c]!r}, 6)"
+        for c in range(N_CENTROIDS)
+    )
+    return f"[{scores}]"
+
+
+def sql_ann_ivf_topk(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
+    cos = _sql_cosine("q.qv", "c.v")
+    return f"""
+    WITH emb AS (SELECT vec_id, v, {sql_centroid_scores('v')} AS cscores FROM ({_SQL_EMB})),
+    corpus AS (SELECT vec_id, v, list_position(cscores, list_max(cscores)) AS cell FROM emb),
+    qexp AS (
+      SELECT e.vec_id AS query_id, e.v AS qv, r.cidx AS cell, e.cscores[r.cidx] AS score
+      FROM emb e CROSS JOIN (SELECT unnest(range(1, {N_CENTROIDS + 1})) AS cidx) r
+      WHERE e.vec_id < {n_queries}
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cell) AS rn
+        FROM qexp
+      ) WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+      FROM corpus c JOIN probes q ON c.cell = q.cell WHERE c.vec_id <> q.query_id
     )
     SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank

@@ -68,6 +68,22 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert overlap / total > 0.1
 
 
+def test_ann_ivf_recall_vs_brute_force(spark):
+    from serbian_osm_lint_spark.operators import similarity
+
+    brute = {}
+    for r in similarity.ann_cosine_topk_df(spark, SF_SMALL).collect():
+        brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf = {}
+    for r in similarity.ann_ivf_topk_df(spark, SF_SMALL).collect():
+        ivf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    overlap = sum(len(brute.get(q, set()) & s) for q, s in ivf.items())
+    total = sum(len(s) for s in brute.values())
+    assert total > 0
+    # multi-probe IVF should beat the single-bucket LSH recall floor
+    assert overlap / total > 0.2
+
+
 def test_media_feature_plumbing(spark):
     from serbian_osm_lint_spark import synth
     from serbian_osm_lint_spark.operators import media
