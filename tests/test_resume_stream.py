@@ -58,6 +58,45 @@ def test_resume_after_injected_failure(spark, out_dir):
     assert total == len(single)
 
 
+def test_streaming_dedup_exact_first_wins(spark, tmp_path):
+    """Streamed dropDuplicates(fingerprint) keeps exactly one doc per
+    distinct text across micro-batches, matching the batch dedup's
+    canonical set; a re-run from the checkpoint adds nothing."""
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark.functions.text import fingerprint_col
+    from serbian_osm_lint_spark.streaming import stream
+
+    texts = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    texts_path = str(tmp_path / "texts")
+    # two files => at least two micro-batches with maxFilesPerTrigger=1,
+    # so the dup (doc 3) can arrive in a later batch than its original
+    texts.filter(F.col("doc_id") <= 2).write.parquet(texts_path)
+    texts.filter(F.col("doc_id") == 3).write.mode("append").parquet(texts_path)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    n1 = stream.stream_dedup_exact(spark, texts_path, out, ckpt)
+    assert n1 >= 1
+    got = spark.read.parquet(f"{out}/canonical")
+    fps = [r.fp for r in got.collect()]
+    assert len(fps) == 2 and len(set(fps)) == 2  # one row per distinct text
+
+    want_fps = {
+        r.fp
+        for r in texts.select(fingerprint_col(F.col("text")).alias("fp")).distinct().collect()
+    }
+    assert set(fps) == want_fps
+
+    # idempotent re-run: checkpoint remembers both progress AND dedup state
+    n2 = stream.stream_dedup_exact(spark, texts_path, out, ckpt)
+    assert n2 == 0
+    assert spark.read.parquet(f"{out}/canonical").count() == 2
+
+
 def test_streaming_available_now_idempotent(spark, tmp_path):
     from serbian_osm_lint_spark.sources import catalog
     from serbian_osm_lint_spark.streaming import stream
