@@ -58,7 +58,7 @@ def load_tpch(spark, sf_dir: str, name: str):
 
 
 #: bump when the synth derivation changes (invalidates cached doc tables).
-SYNTH_VERSION = "v4"
+SYNTH_VERSION = "v5"
 
 #: number of hash-bucket partitions the stored doc table is laid out in —
 #: the parquet stand-in for Iceberg's ``bucket(N, doc_id)`` transform.
@@ -101,11 +101,15 @@ def docs_table(spark, sf_dir: str):
     path = os.path.join(_cache_root(), f"docs_{key}_{SYNTH_VERSION}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         bucketed = synth.docs_df(spark, sf_dir).withColumn(
             "bucket_id", F.pmod(F.xxhash64("doc_id"), F.lit(N_DOC_BUCKETS))
         )
+        # repartition on doc_id (not the bucket): each bucket directory
+        # gets ~n_parts files, so scans keep full task parallelism — one
+        # file per bucket would cap CPU-heavy downstream ops at 8 tasks.
         write_table(
-            bucketed.repartition(N_DOC_BUCKETS, "bucket_id"),
+            bucketed.repartition(n_parts, "doc_id"),
             path,
             partition_by=["bucket_id"],
         )
