@@ -21,6 +21,7 @@ from serbian_osm_lint_spark.functions import text as ftext  # noqa: E402
 from serbian_osm_lint_spark.plans import lint_pipeline  # noqa: E402
 from serbian_osm_lint_spark.operators import queries as q29  # noqa: E402
 from serbian_osm_lint_spark.operators import (  # noqa: E402
+    corpus,
     dedup,
     events,
     fixes,
@@ -117,6 +118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_counts_salted": lambda s, d: spatial.cell_counts_salted_df(s, _docs(s, d)),
         # training-data pipeline: text analysis / dedup / similarity / media
         "text_profile": _q_text_profile,
+        "pii_redact": lambda s, d: corpus.pii_redact_df(s, d),
+        "corpus_split": lambda s, d: corpus.corpus_split_df(s, d),
         "dedup_exact": lambda s, d: dedup.dedup_exact_df(s, d),
         "minhash_signatures": lambda s, d: dedup.minhash_signatures_df(s, d),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs_df(s, d),
@@ -164,6 +167,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_assignment": spatial.sql_tile_assignment(d),
         "cell_counts_salted": spatial.sql_cell_counts(d),
         "text_profile": _sql_text_profile(),
+        "pii_redact": corpus.sql_pii_redact(),
+        "corpus_split": corpus.sql_corpus_split(),
         "dedup_exact": dedup.sql_dedup_exact(),
         "minhash_signatures": dedup.sql_minhash_signatures(),
         "minhash_lsh_pairs": dedup.sql_minhash_lsh_pairs(),
