@@ -96,6 +96,84 @@ def extract_media_features_df(spark, docs, batch_hint: int = 1024):
     return src.mapInPandas(extract, MEDIA_FEATURES_SCHEMA)
 
 
+FRAME_STRIDE = 4
+
+
+def sample_media_frames_df(spark, docs):
+    """Frame-sample + resize plumbing for video-like payloads: every
+    ``FRAME_STRIDE``-th frame of each media span, with the resize target
+    (half the decoded dims, capped at 64) computed per frame.
+
+    The decode is the same deterministic stub (frame count and frame
+    digests derive from the payload md5) — the Spark-side shape is the
+    real thing: narrow projection → ``mapInPandas`` (Arrow batches,
+    per-partition, no shuffle), one output row per sampled frame.
+    Output: (doc_id, media_ref, n_frames, frame_idx, frame_md5,
+    resized_w, resized_h).
+    """
+    import pandas as pd
+
+    src = media_payloads_df(spark, docs)
+    schema = (
+        "doc_id string, media_ref string, n_frames int, frame_idx int, "
+        "frame_md5 string, resized_w int, resized_h int"
+    )
+
+    def sample(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "media_ref", "n_frames", "frame_idx",
+                "frame_md5", "resized_w", "resized_h",
+            )}
+            for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
+                payload = bytes(payload)
+                digest = hashlib.md5(payload).digest()
+                w, h = _decode_image_stub(digest)
+                n_frames = 8 + digest[2] % 8
+                for idx in range(0, n_frames, FRAME_STRIDE):
+                    out["doc_id"].append(doc_id)
+                    out["media_ref"].append(ref)
+                    out["n_frames"].append(n_frames)
+                    out["frame_idx"].append(idx)
+                    out["frame_md5"].append(
+                        hashlib.md5(payload + b":" + str(idx).encode()).hexdigest()
+                    )
+                    out["resized_w"].append(min(w // 2, 64))
+                    out["resized_h"].append(min(h // 2, 64))
+            yield pd.DataFrame(out).astype(
+                {"n_frames": "int32", "frame_idx": "int32",
+                 "resized_w": "int32", "resized_h": "int32"}
+            )
+
+    return src.mapInPandas(sample, schema)
+
+
+def sql_media_frames(docs_sql: str) -> str:
+    """DuckDB twin of :func:`sample_media_frames_df` (payload == the
+    media_ref utf-8 bytes, so frame digests are string md5s)."""
+
+    def byte(j: int) -> str:
+        return f"CAST(concat('0x', substring(h, {2 * j + 1}, 2)) AS INT)"
+
+    return f"""
+    WITH d AS ({docs_sql}),
+    m AS (SELECT doc_id, media_ref, md5(media_ref) AS h FROM d),
+    dims AS (
+      SELECT doc_id, media_ref,
+             CAST(8 + {byte(2)} % 8 AS INT) AS n_frames,
+             64 + {byte(0)} % 192 AS w, 64 + {byte(1)} % 192 AS h2
+      FROM m
+    )
+    SELECT doc_id, media_ref, n_frames,
+           CAST(f.idx AS INT) AS frame_idx,
+           md5(media_ref || ':' || CAST(f.idx AS VARCHAR)) AS frame_md5,
+           CAST(least(w // 2, 64) AS INT) AS resized_w,
+           CAST(least(h2 // 2, 64) AS INT) AS resized_h
+    FROM dims CROSS JOIN (SELECT unnest(range(0, 16, {FRAME_STRIDE})) AS idx) f
+    WHERE f.idx < n_frames
+    """
+
+
 def sql_media_features(docs_sql: str) -> str:
     """DuckDB twin: the same md5-derived width/height/features in SQL
     (hex-slice arithmetic over ``md5(media_ref)``)."""
