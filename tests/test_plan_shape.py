@@ -93,6 +93,32 @@ def test_embedding_near_dups_joins_on_sign_bucket(spark):
     assert "label" not in plan
 
 
+def test_media_pipeline_has_no_shuffle(spark):
+    """Multimodal mapInPandas stages must stay partition-local: narrow
+    projection -> Arrow batches, zero Exchange in the plan."""
+    from serbian_osm_lint_spark.operators import media
+    from serbian_osm_lint_spark.sources import catalog
+
+    docs = catalog.docs_table(spark, SF_SMALL)
+    for df in (
+        media.extract_media_features_df(spark, docs),
+        media.sample_media_frames_df(spark, docs),
+    ):
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "MapInPandas" in plan
+
+
+def test_ivf_probes_are_broadcast(spark):
+    """IVF: the small probe side broadcasts; candidate generation is an
+    equi-join on the centroid cell, never a NestedLoop scan."""
+    from serbian_osm_lint_spark.operators import similarity
+
+    plan = _plan(similarity.ann_ivf_topk_df(spark, SF_SMALL))
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_salted_agg_splits_hot_cell(spark):
     """SURVEY §7.3: the hot cells must actually trigger the salted path —
     the partial (cell, salt) aggregation must hold the hot cell in many
