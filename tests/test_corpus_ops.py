@@ -22,6 +22,22 @@ def test_pii_redaction_scrubs_injected(spark):
     assert hit_email > 0 and hit_phone > 0
 
 
+def test_training_shard_keep_gate(spark):
+    """The composed shard pipeline rejects planted copies (dup gate) and
+    planted two-token stubs (length gate), and keeps the originals."""
+    from serbian_osm_lint_spark.operators import corpus
+
+    rows = {r.doc_id: r for r in corpus.training_shard_df(spark, SF_SMALL).collect()}
+    originals = [r for k, r in rows.items() if k < 1000000]
+    copies = [r for k, r in rows.items() if 1000000 <= k < 3000000]
+    shorts = [r for k, r in rows.items() if k >= 3000000]
+    assert originals and copies and shorts
+    assert all(not r.is_dup and r.keep for r in originals)
+    assert any(r.is_dup for r in copies)  # copies dedup to their originals
+    assert all(not r.keep for r in shorts if r.n_tokens_ws < corpus.MIN_TOKENS)
+    assert all(r.split in ("train", "val", "test") for r in rows.values())
+
+
 def test_corpus_split_deterministic_and_proportional(spark):
     from serbian_osm_lint_spark.operators import corpus
 
