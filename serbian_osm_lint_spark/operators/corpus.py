@@ -67,11 +67,16 @@ def sql_with_injected_pii() -> str:
 
 
 def _sql_shard_corpus() -> str:
-    return _sql_inject_pii(
-        "SELECT doc_id, text FROM documents "
-        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0 "
+    # PII is injected BEFORE the union so an exact copy duplicates the
+    # injected text byte-for-byte (id-offset-based injection would give
+    # copies a different PII suffix whenever offset % lcm(4,6) != 0 —
+    # un-flagging them as dups) and the short stubs stay stub-short.
+    injected = _sql_inject_pii("SELECT doc_id, text FROM documents")
+    return (
+        f"WITH inj AS ({injected}) SELECT doc_id, text FROM inj "
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM inj WHERE doc_id % 7 = 0 "
         "UNION ALL SELECT doc_id + 3000000 AS doc_id, 'kratak tekst' AS text "
-        "FROM documents WHERE doc_id % 13 = 0"
+        "FROM inj WHERE doc_id % 13 = 0"
     )
 
 
@@ -124,21 +129,27 @@ def training_shard_df(spark, sf_dir: str):
 
     The driver corpus has no dups and no degenerate docs, so the union
     plants both reject classes (exact copies at +10^6, two-token stubs
-    at +3·10^6) — the keep gate has live negatives at every scale.
+    at +3·10^6) — the keep gate has live negatives at every scale. PII
+    is injected BEFORE the union so a planted copy duplicates the
+    injected text byte-for-byte (injecting by the offset id would give
+    copies a different PII suffix — offset % lcm(4,6) != 0 — and
+    silently un-flag them as dups) and the stubs stay stub-short.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ..functions.text import fingerprint_col, lang_id_col, token_count_cols
 
-    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    raw = _inject_pii(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     exact = raw.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     short = raw.filter(F.col("doc_id") % 13 == 0).select(
         (F.col("doc_id") + 3000000).alias("doc_id"), F.lit("kratak tekst").alias("text")
     )
-    docs = _inject_pii(raw.unionByName(exact).unionByName(short))
+    docs = raw.unionByName(exact).unionByName(short)
     t = F.col("text")
     clean = F.regexp_replace(
         F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"

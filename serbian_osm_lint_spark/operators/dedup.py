@@ -11,17 +11,29 @@ Scale shapes:
     exact Jaccard is verified inline from the carried shingles. Band
     buckets are ~uniform by construction; AQE skew-join covers hot bands.
   * SimHash — 64-bit signature via a vectorized pandas UDF (unique words
-    hashed once per Arrow batch); near-dup lookup = hamming ≤ r inside
-    16-bit prefix buckets (equi-join, never all-pairs). Both faces have
-    DuckDB twins (md5 hex-slice arithmetic + per-bit majority in SQL).
+    hashed once per Arrow batch); near-dup lookup = hamming ≤ r probing
+    ALL four 16-bit bands (banded equi-join, never all-pairs). With
+    r = 3 < 4 bands, the pigeonhole principle guarantees any qualifying
+    pair agrees on at least one full band — recall is EXACT, at a fixed
+    4× explode over the single-prefix probe. Both faces have DuckDB
+    twins (md5 hex-slice arithmetic + per-bit majority in SQL).
   * n-gram Jaccard — exact word-3-gram Jaccard over the SAME MinHash-LSH
     candidate generator (band-bucket equi-join), with its own looser
     exact-score threshold. Never quadratic: the pair space is bounded by
     band-bucket collisions, not by document count.
   * embedding near-dups — deterministic random-hyperplane sign buckets
-    (8 planes → 256 buckets) block the corpus; exact cosine inside the
-    bucket. Recall < 1 by construction (a near-dup straddling a
-    hyperplane is missed); the oracle replays the identical spec.
+    block the corpus; exact cosine inside the bucket. The plane count is
+    DERIVED from the corpus size (planes ≈ log2(n / target bucket size),
+    :func:`n_planes_for`) so bucket occupancy stays bounded as the
+    corpus scales, and recall is held with 1-bit-flip multi-probe (each
+    vector also probes the ``n_planes`` buckets at hamming distance 1).
+    A pair straddling ≥ 2 hyperplanes is still missed; the oracle
+    replays the identical spec.
+
+Tokenizer spec (shared cross-engine contract): words/shingles split on
+the explicit ASCII-whitespace class :data:`WS_SPLIT_RE` in BOTH engines
+(Java regex, RE2, and the Python UDF interpret it identically) — never
+``\\s``/``str.split()``, whose whitespace classes differ per engine.
 
 The driver corpus has no natural duplicates, so the dedup queries run
 over :func:`with_near_dups_df` — the corpus unioned with deterministic
@@ -39,10 +51,36 @@ N_HASHES = 8
 N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 2
 JACCARD_THRESHOLD = 0.5
 NGRAM_JACCARD_THRESHOLD = 0.3
-SIMHASH_PREFIX_BITS = 16
+SIMHASH_BAND_BITS = 16
+N_SIMHASH_BANDS = 64 // SIMHASH_BAND_BITS  # 4 bands; r < bands ⇒ exact recall
 SIMHASH_HAMMING_R = 3
 COSINE_DUP_THRESHOLD = 0.9
-N_DUP_PLANES = 8  # 256 sign buckets for embedding near-dup blocking
+
+#: ASCII-whitespace tokenizer class — the ONE split spec both engines (and
+#: the simhash pandas UDF) use. Java regex, RE2 and Python ``re`` all read
+#: these escapes identically; ``\s``/``str.split()`` would not (Java adds
+#: \x0B, RE2 lacks it, Python splits on all of Unicode).
+WS_SPLIT_RE = r"[ \t\n\r\f\x0B]+"
+
+#: target vectors per LSH sign-bucket — the knob :func:`n_planes_for`
+#: derives the hyperplane count from.
+TARGET_BUCKET_SIZE = 32
+
+#: embeddings-table rows at the driver's sf0.01 correctness gate; the
+#: static DuckDB oracles pin their plane counts to this corpus size (the
+#: Spark faces derive the same number from the live table count).
+ORACLE_EMB_N = 500
+
+
+def n_planes_for(n_vectors: int) -> int:
+    """Hyperplane count for ~:data:`TARGET_BUCKET_SIZE` vectors/bucket:
+    ``ceil(log2(n / target))``. At 10^10 vectors this yields ~28 planes —
+    bucket occupancy stays bounded instead of degenerating quadratic as a
+    fixed plane count would. (At scale ``n`` comes from table stats —
+    Iceberg snapshot row counts — not a scan.)"""
+    import math
+
+    return max(1, math.ceil(math.log2(max(2.0, n_vectors / TARGET_BUCKET_SIZE))))
 
 
 # ----------------------------------------------------------- corpus prep
@@ -117,7 +155,7 @@ def _shingles_col(text_col):
     """Distinct word-3-gram shingles (native expressions)."""
     from pyspark.sql import functions as F
 
-    words = F.split(F.trim(text_col), r"\s+")
+    words = F.split(F.trim(text_col), WS_SPLIT_RE)
     n = F.size(words)
     return F.array_distinct(
         F.when(
@@ -133,7 +171,7 @@ def _shingles_col(text_col):
 
 
 def _sql_shingles(text: str) -> str:
-    words = f"regexp_split_to_array(trim({text}), '\\s+')"
+    words = f"regexp_split_to_array(trim({text}), '{WS_SPLIT_RE}')"
     return (
         f"list_distinct(CASE WHEN len({words}) >= 3 THEN "
         f"[{words}[i] || ' ' || {words}[i+1] || ' ' || {words}[i+2] "
@@ -314,10 +352,12 @@ def simhash_df(spark, sf_dir: str):
     """64-bit SimHash per doc via a vectorized pandas UDF (Arrow batches).
 
     Spec (replayed bit-exactly by :func:`sql_simhash`): per doc, the
-    DISTINCT whitespace-split words each hash to the first 8 bytes of
-    ``md5(word)`` (big-endian uint64); bit b of the signature is set iff
-    strictly more than half the distinct words have bit b set. Wordless
-    docs hash to 0. Stored as the int64 reinterpretation.
+    DISTINCT words (split on the shared ASCII-whitespace class
+    :data:`WS_SPLIT_RE` — the cross-engine tokenizer contract) each hash
+    to the first 8 bytes of ``md5(word)`` (big-endian uint64); bit b of
+    the signature is set iff strictly more than half the distinct words
+    have bit b set. Wordless docs hash to 0. Stored as the int64
+    reinterpretation.
 
     Vectorization: unique words are hashed ONCE per Arrow batch (shared
     vocabulary), bit expansion is one numpy broadcast over the vocab, and
@@ -328,13 +368,14 @@ def simhash_df(spark, sf_dir: str):
     @F.pandas_udf("long")
     def simhash(text: pd.Series) -> pd.Series:
         import hashlib
+        import re
 
+        ws = re.compile(WS_SPLIT_RE)
         vocab_index: dict[str, int] = {}
         doc_word_idx = []
         for t in text:
-            idxs = [
-                vocab_index.setdefault(w, len(vocab_index)) for w in set(t.split())
-            ]
+            words = set(ws.split(t)) - {""}
+            idxs = [vocab_index.setdefault(w, len(vocab_index)) for w in words]
             doc_word_idx.append(np.asarray(idxs, dtype=np.int64))
         if vocab_index:
             hv = np.empty(len(vocab_index), dtype=np.uint64)
@@ -371,7 +412,7 @@ def sql_simhash() -> str:
     WITH d AS ({sql_with_near_dups()}),
     w AS (
       SELECT doc_id, CAST(concat('0x', substring(md5(word), 1, 16)) AS UBIGINT) AS h
-      FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS word FROM d)
+      FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '{WS_SPLIT_RE}'))) AS word FROM d)
       WHERE word <> ''
     ),
     agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, {counts} FROM w GROUP BY doc_id),
@@ -386,40 +427,60 @@ def sql_simhash() -> str:
     """
 
 
-def simhash_near_dups_df(spark, sf_dir: str):
-    """SimHash near-dup pairs: equi-join on the 16-bit prefix bucket,
-    then hamming(a, b) ≤ r via native bit_count(xor). Blocking recall:
-    a near-dup pair differing inside the prefix is missed (documented;
-    production would probe all 4 16-bit bands). Output
-    (doc_id_a, doc_id_b, hamming)."""
+def simhash_near_dup_pairs_from(sig):
+    """All pairs with hamming ≤ :data:`SIMHASH_HAMMING_R` from a
+    ``(doc_id, simhash)`` frame, probing ALL four 16-bit bands.
+
+    EXACT recall by pigeonhole: a pair within hamming ≤ 3 has its ≤ 3
+    differing bits in at most 3 of the 4 bands, so at least one band is
+    bit-identical and the pair collides there. Cost: a fixed 4× explode
+    feeding ONE (band, bucket) equi-join (the exchange is built once and
+    reused for both sides) — never all-pairs; a pair agreeing on several
+    bands is deduped by the final ``distinct``."""
     from pyspark.sql import functions as F
 
-    sig = simhash_df(spark, sf_dir)
-    shift = 64 - SIMHASH_PREFIX_BITS
-    mask = (1 << SIMHASH_PREFIX_BITS) - 1
-    b = sig.select(
-        "doc_id", "simhash", F.shiftright("simhash", shift).bitwiseAND(F.lit(mask)).alias("bucket")
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.shiftright("simhash", 64 - SIMHASH_BAND_BITS * (i + 1)).bitwiseAND(F.lit(mask))
+            for i in range(N_SIMHASH_BANDS)
+        ]
     )
-    left = b.select("bucket", F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("s_a"))
-    right = b.select("bucket", F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("s_b"))
+    b = sig.select("doc_id", "simhash", F.posexplode(bands).alias("band", "bucket"))
+    left = b.select(
+        "band", "bucket", F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("s_a")
+    )
+    right = b.select(
+        "band", "bucket", F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("s_b")
+    )
     ham = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
     return (
-        left.join(right, "bucket")
+        left.join(right, ["band", "bucket"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .select("doc_id_a", "doc_id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_R)
+        .distinct()
     )
 
 
+def simhash_near_dups_df(spark, sf_dir: str):
+    """SimHash near-dup pairs (doc_id_a, doc_id_b, hamming) with exact
+    recall at hamming ≤ r — see :func:`simhash_near_dup_pairs_from`."""
+    return simhash_near_dup_pairs_from(simhash_df(spark, sf_dir))
+
+
 def sql_simhash_near_dups() -> str:
-    shift = 64 - SIMHASH_PREFIX_BITS
-    mask = (1 << SIMHASH_PREFIX_BITS) - 1
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     return f"""
     WITH s AS ({sql_simhash()}),
-    b AS (SELECT doc_id, simhash, (simhash >> {shift}) & {mask} AS bucket FROM s)
-    SELECT a.doc_id AS doc_id_a, b2.doc_id AS doc_id_b,
+    b AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (64 - {SIMHASH_BAND_BITS} * (band + 1))) & {mask} AS bucket
+      FROM s CROSS JOIN (SELECT unnest(range(0, {N_SIMHASH_BANDS})) AS band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_a, b2.doc_id AS doc_id_b,
            CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
-    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+    FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
     WHERE bit_count(xor(a.simhash, b2.simhash)) <= {SIMHASH_HAMMING_R}
     """
 
@@ -455,23 +516,36 @@ def sql_with_emb_dups() -> str:
     )
 
 
-def embedding_near_dups_df(spark, sf_dir: str):
-    """Embedding near-duplicates: deterministic random-hyperplane sign
-    buckets (8 planes → 256 buckets) block the corpus; exact cosine ≥
-    threshold inside the bucket. Output (vec_id_a, vec_id_b, cosine).
+def probe_buckets_col(bucket, n_planes: int):
+    """1-bit-flip multi-probe set of a sign bucket: the bucket itself
+    plus the ``n_planes`` buckets at hamming distance 1."""
+    from pyspark.sql import functions as F
 
-    Scale shape: one shuffle on the bucket key (self-equi-join with
-    exchange reuse); pair space bounded by bucket collisions. Recall < 1
-    by construction — a plane through a near-dup pair splits it; the
-    DuckDB oracle replays the identical spec."""
+    return F.array(bucket, *[bucket.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+
+
+def emb_near_dup_pairs_from(emb, n_planes: int, multiprobe: bool = True):
+    """Near-dup pairs from a ``(vec_id, v)`` frame via sign-bucket
+    blocking + exact in-bucket cosine.
+
+    One side explodes its 1-bit-flip probe set (:func:`probe_buckets_col`)
+    and equi-joins the other side's exact bucket — because bucket
+    adjacency is symmetric, the one-sided explode plus the ``a < b``
+    filter yields every qualifying pair exactly once (no distinct
+    needed). A pair split by ≥ 2 hyperplanes is still missed."""
     from pyspark.sql import functions as F
 
     from .similarity import _cosine, sign_bucket_col
 
-    emb = with_emb_dups_df(spark, sf_dir).withColumn(
-        "bucket", sign_bucket_col(F.col("v"), N_DUP_PLANES)
-    )
-    a = emb.select("bucket", F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
+    emb = emb.withColumn("bucket", sign_bucket_col(F.col("v"), n_planes))
+    if multiprobe:
+        a = emb.select(
+            F.explode(probe_buckets_col(F.col("bucket"), n_planes)).alias("bucket"),
+            F.col("vec_id").alias("vec_id_a"),
+            F.col("v").alias("va"),
+        )
+    else:
+        a = emb.select("bucket", F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
     b = emb.select("bucket", F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
     cos = _cosine(F.col("va"), F.col("vb"))
     return (
@@ -482,14 +556,34 @@ def embedding_near_dups_df(spark, sf_dir: str):
     )
 
 
+def embedding_near_dups_df(spark, sf_dir: str):
+    """Embedding near-duplicates (vec_id_a, vec_id_b, cosine ≥ 0.9).
+
+    The hyperplane count is derived from the live corpus size
+    (:func:`n_planes_for` — table stats at scale, a footer count here),
+    so bucket occupancy stays ~:data:`TARGET_BUCKET_SIZE` as the corpus
+    grows; 1-bit multi-probe holds recall. One shuffle on the bucket
+    key; pair space bounded by bucket collisions."""
+    emb = with_emb_dups_df(spark, sf_dir)
+    return emb_near_dup_pairs_from(emb, n_planes_for(emb.count()))
+
+
 def sql_embedding_near_dups() -> str:
+    """DuckDB twin, plane count pinned to the driver-contract corpus
+    (:data:`ORACLE_EMB_N` embeddings + 1/5 planted dups = 600 vectors —
+    the same number the Spark face derives from its live count)."""
     from .similarity import _sql_cosine, sql_sign_bucket
 
+    n_planes = n_planes_for(ORACLE_EMB_N + ORACLE_EMB_N // 5)
     cos = _sql_cosine("a.v", "b.v")
     return f"""
-    WITH emb AS (SELECT vec_id, v, {sql_sign_bucket('v', N_DUP_PLANES)} AS bucket
-                 FROM ({sql_with_emb_dups()}))
+    WITH emb AS (SELECT vec_id, v, {sql_sign_bucket('v', n_planes)} AS bucket
+                 FROM ({sql_with_emb_dups()})),
+    probed AS (
+      SELECT vec_id, v, CASE WHEN i = 0 THEN bucket ELSE xor(bucket, 1 << (i - 1)) END AS bucket
+      FROM emb CROSS JOIN (SELECT unnest(range(0, {n_planes + 1})) AS i)
+    )
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, {cos} AS cosine
-    FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM probed a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {cos} >= {COSINE_DUP_THRESHOLD}
     """

@@ -9,9 +9,12 @@
 * :func:`ann_lsh_topk_df` — the scale path: random-hyperplane LSH.
   Hyperplane weights are a deterministic LCG of (plane, dim) — no RNG —
   so the bucket assignment is reproducible across engines and runs
-  (resume-safe). Candidates = same 8-bit sign-bucket; exact cosine
-  re-rank inside the bucket. Recall < 1 by construction; the oracle
-  replays the identical spec, so equality still holds.
+  (resume-safe). The plane count is DERIVED from the corpus size
+  (``dedup.n_planes_for`` — bucket occupancy stays bounded as the
+  corpus scales); each query probes its own sign-bucket plus the 1-bit
+  flips, then exact cosine re-ranks the candidates. Recall < 1 by
+  construction; the oracle replays the identical spec, so equality
+  still holds.
 
 Float discipline: embeddings are float32; both engines cast elements to
 double *before* multiplying, and cosines are rounded to 6 decimals (libm
@@ -22,7 +25,10 @@ ordering is engine-independent.
 from __future__ import annotations
 
 EMB_DIM = 64
-N_PLANES = 4  # 16 buckets: ~3% of pairs probed, recall stays useful
+#: fallback plane count for callers that don't derive one from the corpus
+#: size (``dedup.n_planes_for`` is the sizing rule; 4 planes is what it
+#: yields for the 500-vector driver tables).
+N_PLANES = 4
 TOPK = 5
 N_QUERIES = 20  # vec_id < N_QUERIES form the query set
 
@@ -106,16 +112,24 @@ def ann_cosine_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUE
 
 
 def ann_lsh_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
-    """LSH-bucketed variant: sign-pattern bucket then in-bucket re-rank."""
+    """LSH-bucketed variant: sign-pattern bucket (plane count derived
+    from the corpus size) then in-bucket re-rank; each query probes its
+    bucket + the 1-bit flips (multi-probe holds recall as the derived
+    plane count grows)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    from .dedup import n_planes_for, probe_buckets_col
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _to_double(F.col("embedding")).alias("v")
     )
-    emb = emb.withColumn("bucket", sign_bucket_col(F.col("v"), N_PLANES))
+    n_planes = n_planes_for(emb.count())
+    emb = emb.withColumn("bucket", sign_bucket_col(F.col("v"), n_planes))
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(probe_buckets_col(F.col("bucket"), n_planes)).alias("bucket"),
     )
     cand = emb.join(F.broadcast(queries), "bucket").filter(
         F.col("vec_id") != F.col("query_id")
@@ -281,11 +295,22 @@ def sql_ann_ivf_topk(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
 
 
 def sql_ann_lsh_topk(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
-    bucket = sql_sign_bucket("v", N_PLANES)
+    """DuckDB twin; plane count pinned to the driver-contract corpus size
+    (``dedup.ORACLE_EMB_N`` — the Spark face derives the same number from
+    its live count), query-side 1-bit multi-probe replicated."""
+    from .dedup import ORACLE_EMB_N, n_planes_for
+
+    n_planes = n_planes_for(ORACLE_EMB_N)
+    bucket = sql_sign_bucket("v", n_planes)
     cos = _sql_cosine("q.qv", "e.v")
     return f"""
     WITH emb AS (SELECT vec_id, v, {bucket} AS bucket FROM ({_SQL_EMB})),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM emb WHERE vec_id < {n_queries}),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv,
+             CASE WHEN i = 0 THEN bucket ELSE xor(bucket, 1 << (i - 1)) END AS bucket
+      FROM emb CROSS JOIN (SELECT unnest(range(0, {n_planes + 1})) AS i)
+      WHERE vec_id < {n_queries}
+    ),
     scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cosine
       FROM emb e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id

@@ -129,3 +129,79 @@ def test_text_profile_lang_and_tokens(spark):
     assert rows[1].lang == "de"
     assert rows[2].lang == "sr"
     assert rows[3].lang == "unknown"
+
+
+def test_simhash_band_probe_exact_recall(spark):
+    """VERDICT r2 item 1: a pair differing only inside the TOP 16 bits was
+    missed by the old single-prefix probe; the 4-band probe must find it
+    (pigeonhole: hamming <= 3 < 4 bands => >= 1 band identical)."""
+    from serbian_osm_lint_spark.operators import dedup
+
+    sig = spark.createDataFrame(
+        [
+            (1, 0),
+            (2, 1 << 50),          # 1 bit, in band 0 (top 16 bits) only
+            (3, 7 << 40),          # 3 bits, bands 0+1
+            (4, (7 << 40) | 1),    # hamming 1 from id 3 (bit in band 3)
+            (5, 0b1111),           # hamming 4 from id 1 -> must NOT pair
+        ],
+        "doc_id long, simhash long",
+    )
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in dedup.simhash_near_dup_pairs_from(sig).collect()
+    }
+    assert pairs[(1, 2)] == 1  # top-band difference: found now, missed before
+    assert pairs[(3, 4)] == 1
+    assert (1, 5) not in pairs  # hamming 4 > r stays excluded
+    # pair (1,2) shares bands 1..3 -> must still appear exactly once
+    assert len([k for k in pairs if k == (1, 2)]) == 1
+
+
+def test_emb_multiprobe_is_superset_of_exact_bucket(spark):
+    """1-bit multi-probe may only ADD pairs relative to the exact-bucket
+    join (recall holds as the derived plane count grows)."""
+    from serbian_osm_lint_spark.operators import dedup
+
+    emb = dedup.with_emb_dups_df(spark, SF_SMALL)
+    n_planes = dedup.n_planes_for(emb.count())
+    multi = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in dedup.emb_near_dup_pairs_from(emb, n_planes).collect()
+    }
+    exact = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in dedup.emb_near_dup_pairs_from(emb, n_planes, multiprobe=False).collect()
+    }
+    assert exact <= multi
+    assert len(multi) > 0
+
+
+def test_derived_planes_bound_bucket_occupancy(spark):
+    """VERDICT r2 item 3: the plane count scales with the corpus so the
+    average bucket occupancy stays ~TARGET_BUCKET_SIZE instead of growing
+    linearly (fixed planes degenerate toward quadratic pair generation)."""
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark.operators import dedup
+    from serbian_osm_lint_spark.operators.similarity import sign_bucket_col, _to_double
+
+    stats = {}
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", _to_double(F.col("embedding")).alias("v")
+        )
+        n = emb.count()
+        planes = dedup.n_planes_for(n)
+        occ = (
+            emb.select(sign_bucket_col(F.col("v"), planes).alias("b"))
+            .groupBy("b")
+            .count()
+            .agg(F.avg("count").alias("avg"))
+            .first()
+        )
+        stats[sf_dir] = (n, planes, occ.avg)
+    (n1, p1, avg1), (n2, p2, avg2) = stats.values()
+    assert n2 > n1 and p2 > p1  # plane count grows with the corpus
+    for avg in (avg1, avg2):
+        assert avg <= 4 * dedup.TARGET_BUCKET_SIZE  # occupancy bounded

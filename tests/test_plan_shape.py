@@ -141,3 +141,19 @@ def test_salted_agg_splits_hot_cell(spark):
     )
     n_salt_groups = partial.filter(F.col("cell_id") == hot_cell).count()
     assert n_salt_groups >= 8  # the hot cell splits across most salt buckets
+
+
+def test_simhash_near_dups_single_banded_equijoin(spark):
+    """VERDICT r2 item 1: the 4-band probe is ONE (band, bucket) equi-join
+    fed by the band explode — never all-pairs."""
+    from serbian_osm_lint_spark.operators import dedup
+
+    plan = _plan(dedup.simhash_near_dups_df(spark, SF_SMALL))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "posexplode" in plan  # the band explode feeds the join
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+    # the join is keyed on BOTH band and bucket (a two-key equi-join)
+    assert "Left keys [2]: [band" in plan
