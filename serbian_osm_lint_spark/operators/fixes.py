@@ -27,9 +27,10 @@ Fix gates replicated:
   * C12 add ``is_in:country = Serbia`` (``src/checks.py:681-698``);
   * C14 delete ``name:sr-Latn`` (``src/checks_extended.py:28-52``).
 
-Documented approximation (same for C6/C7): the guess walk uses the
-``name`` tag on every map; the reference walks ``name:sr`` on non-Serbia
-maps (``src/checks.py:410,478``).
+The C6/C7 guess walk is map-aware like the reference: it walks the
+``name`` tag on the Serbia map and ``name:sr`` elsewhere
+(``src/checks.py:409-410,477-478``) — see :func:`..wikiwalk.wiki_guess_df`
+for the per-map gates.
 """
 
 from __future__ import annotations
@@ -143,11 +144,11 @@ def proposed_fixes_df(spark, docs, wiki_pages, maps=DEFAULT_MAPS):
             .drop("_m")
         )
 
-    # C6/C7: wikipedia guesses (map-independent eligibility, emitted per
-    # map like the reference's per-map fix loop)
+    # C6/C7: wikipedia guesses — the walk is per-map (name on the Serbia
+    # map, name:sr elsewhere), so its rows already carry map_name
     def guess_fixes(mode, check_name, action):
-        g = wiki_guess_df(spark, docs, wikipedia_mode=mode)
-        return per_map(g).select(
+        g = wiki_guess_df(spark, docs, wikipedia_mode=mode, maps=maps)
+        return g.select(
             "doc_id",
             "map_name",
             F.lit(check_name).alias("check_name"),
@@ -235,10 +236,9 @@ def sql_proposed_fixes(docs_sql: str, wiki_sql: str, maps=DEFAULT_MAPS) -> str:
 
     def guess_select(mode, check_name, action):
         return (
-            f"SELECT g.doc_id, m.map_name, '{check_name}' AS check_name, "
+            f"SELECT g.doc_id, g.map_name, '{check_name}' AS check_name, "
             f"'{action}' AS action, 'wikipedia' AS tag, 'sr:' || g.guess_title AS new_val "
-            f"FROM ({sql_wiki_guess(docs_sql, mode)}) g "
-            f"CROSS JOIN (VALUES {maps_values}) AS m(map_name, is_serbia)"
+            f"FROM ({sql_wiki_guess(docs_sql, mode, maps)}) g"
         )
 
     c6 = guess_select("missing", "checks.WikipediaEntryExistsCheck", "add")

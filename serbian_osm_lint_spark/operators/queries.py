@@ -295,12 +295,19 @@ def multi_suggestion_df(spark, docs):
     # message = check_description.format(name) (src/checks.py:713-717);
     # name falls back to the id for nameless entities (src/checks.py:714).
     name_or_id = F.coalesce(F.col("name"), F.expr("substring(doc_id, 2)"))
+    meta = metadata_col(F.lit(MULTI_SUGGESTION_QUERY))
     return bindings.select(
         "doc_id",
         "name",
         "lat",
         "lon",
-        metadata_col(F.lit(MULTI_SUGGESTION_QUERY)).alias("metadata"),
+        meta.alias("metadata"),
+        # the reference gates every suggestion behind interactive
+        # confirmation (src/checks.py:766, ask_confirmation :170-189);
+        # queries whose metadata carries vote=true additionally require a
+        # community vote before applying, so only vote=false suggestions
+        # are safe for unattended replay: auto_applicable := NOT vote.
+        (~meta.getField("vote")).alias("auto_applicable"),
         sugg.alias("suggestions"),
         F.format_string(MULTI_SUGGESTION_DESC.replace("{0}", "%s"), name_or_id).alias(
             "message"
@@ -323,6 +330,7 @@ def multi_suggestion_flat_df(spark, docs):
         F.col("metadata.comment").alias("comment"),
         F.col("metadata.check_description").alias("check_description"),
         F.col("metadata.vote").alias("vote"),
+        "auto_applicable",
         F.posexplode("suggestions").alias("sugg_idx", "s"),
     ).select(
         "doc_id",
@@ -333,6 +341,7 @@ def multi_suggestion_flat_df(spark, docs):
         "comment",
         "check_description",
         "vote",
+        "auto_applicable",
         F.col("sugg_idx").cast("int").alias("sugg_idx"),
         F.col("s.tag").alias("tag"),
         F.col("s.val").alias("val"),
@@ -341,7 +350,15 @@ def multi_suggestion_flat_df(spark, docs):
 
 
 def sql_multi_suggestion(docs_sql: str) -> str:
-    """DuckDB twin of the flattened multi-suggestion pipeline."""
+    """DuckDB twin of the flattened multi-suggestion pipeline. The vote /
+    auto_applicable columns derive from the SAME ``#defaultView:Editor``
+    header the Spark face parses at runtime (parsed here in Python)."""
+    import json
+    import re
+
+    meta = json.loads(re.match(METADATA_RE, MULTI_SUGGESTION_QUERY).group(1))
+    vote_sql = "true" if meta["vote"] else "false"
+    auto_sql = "false" if meta["vote"] else "true"
     esc = lambda s: s.replace("'", "''")  # noqa: E731
     msg = MULTI_SUGGESTION_DESC.replace("'", "''").replace("{0}", "%s")
     within = _sql_within("changing_namesr_to_cyrillic")
@@ -354,7 +371,8 @@ def sql_multi_suggestion(docs_sql: str) -> str:
         f"e.doc_id, e.name, round(e.lat, 6) AS lat, round(e.lon, 6) AS lon, "
         f"printf('{msg}', coalesce(e.name, substring(e.doc_id, 2))) AS message, "
         f"'{esc(MULTI_SUGGESTION_COMMENT)}' AS comment, "
-        f"'{esc(MULTI_SUGGESTION_DESC)}' AS check_description, false AS vote"
+        f"'{esc(MULTI_SUGGESTION_DESC)}' AS check_description, "
+        f"{vote_sql} AS vote, {auto_sql} AS auto_applicable"
     )
     s1 = (
         f"SELECT {common}, 0 AS sugg_idx, 'name:sr-Latn' AS tag, "

@@ -28,15 +28,24 @@ from __future__ import annotations
 from ..functions.geo import haversine_km_col, sql_haversine_km
 from ..functions.translit import has_cyrillic_col, sql_has_cyrillic
 from ..synth import CYR_NAMES, HOT2_LAT0, HOT2_LON0, HOT_LAT0, HOT_LON0
-from .checks import APPLICABLE_PLACES
+from .checks import APPLICABLE_PLACES, DEFAULT_MAPS
 from .spans import with_flat_entity
 
 
+def guess_shape(i: int) -> int:
+    """Walk-shape of name index ``i``: the index QUARTER (i // 4), not
+    ``i % 4`` — ``i % 4`` would be perfectly correlated with the synth
+    corpus's ``name:sr``-presence modulus (k % 4), leaving the
+    non-Serbia-map walk (keyed on ``name:sr``) with no resolvable page
+    shapes at all."""
+    return (i // 4) % 4
+
+
 def _guess_dim():
-    """(pages, links) literal rows; shape cycles with name index % 4."""
+    """(pages, links) literal rows; shape = :func:`guess_shape`(index)."""
     pages, links = [], []
     for i, name in enumerate(CYR_NAMES):
-        m = i % 4
+        m = guess_shape(i)
         if m == 0:  # direct valid page near the Belgrade hot cell
             pages.append((name, False, HOT_LAT0 + 0.05, HOT_LON0 + 0.05))
         elif m == 1:  # disambig; link 1 has no coords, link 2 wins (Novi Sad)
@@ -59,8 +68,9 @@ def _guess_dim():
 GUESS_PAGES, GUESS_LINKS = _guess_dim()
 
 
-def wiki_guess_df(spark, docs, wikipedia_mode: str = "missing"):
-    """Disambiguation-walk guesses: (doc_id, name, guess_title, depth).
+def wiki_guess_df(spark, docs, wikipedia_mode: str = "missing", maps=DEFAULT_MAPS):
+    """Disambiguation-walk guesses, PER MAP:
+    (doc_id, map_name, name, guess_title, depth).
 
     ``wikipedia_mode`` selects which fix the guesses feed:
       * ``"missing"`` — C6 (WikipediaEntryExistsCheck.fix,
@@ -68,10 +78,22 @@ def wiki_guess_df(spark, docs, wikipedia_mode: str = "missing"):
       * ``"non_sr"`` — C7 (WikipediaEntryIsInSerbianCheck.fix,
         ``src/checks.py:476-494``): wikipedia present but not ``sr:``.
 
-    Shared eligibility mirrors the fix gates: entity applicable,
-    in-country, name present and Cyrillic. Documented approximation
-    (same as the C6 emission): the walk always uses the ``name`` tag;
-    the reference uses ``name:sr`` on non-Serbia maps.
+    Eligibility mirrors the reference fix gates exactly:
+      * applicable place, mode predicate, not country-excluded (the
+        excluded entity's ``do_check`` returns '' so no fix runs);
+      * NameMissingCheck passes — the ``name`` tag present and non-empty
+        on EVERY map (``src/checks.py:201-205`` always reads ``name``);
+      * NameCyrillicCheck passes — map-aware tag
+        (``src/checks.py:217-231``): ``name`` must be Cyrillic on the
+        Serbia map, ``name:sr`` (when present) on other maps.
+
+    The walked name is per map too (``src/checks.py:409-410,477-478``):
+    ``tags['name']`` when 'Serbia checks' is in the map name, else
+    ``tags['name:sr']``. One deviation: a non-Serbia-map entity WITHOUT
+    ``name:sr`` makes the reference raise ``KeyError`` inside ``fix``
+    (only ``ElementDeletedApiError`` is caught, ``src/engine.py:38-44``);
+    a crash is not expressible as data, so the engine emits no guess row
+    for it instead.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -82,6 +104,21 @@ def wiki_guess_df(spark, docs, wikipedia_mode: str = "missing"):
     links = F.broadcast(spark.createDataFrame(GUESS_LINKS, "parent string, ord int, child string"))
 
     ent = with_flat_entity(docs)
+    maps_structs = F.array(
+        *[
+            F.struct(F.lit(m).alias("map_name"), F.lit(s).alias("is_serbia"))
+            for m, s in maps
+        ]
+    )
+    ent = (
+        ent.select("*", F.explode(maps_structs).alias("_m"))
+        .select(
+            "*",
+            F.col("_m.map_name").alias("map_name"),
+            F.col("_m.is_serbia").alias("is_serbia"),
+        )
+        .drop("_m")
+    )
     excl = F.col("h_isin") & (F.col("a_isin") != "Serbia")
     if wikipedia_mode == "missing":
         wp_pred = ~F.col("h_wp")
@@ -89,15 +126,21 @@ def wiki_guess_df(spark, docs, wikipedia_mode: str = "missing"):
         wp_pred = F.col("h_wp") & ~F.col("a_wp").startswith("sr:")
     else:
         raise ValueError(wikipedia_mode)
+    nonempty_sr = F.coalesce(F.col("a_name_sr"), F.lit("")) != ""
+    cyr_gate = F.when(F.col("is_serbia"), has_cyrillic_col(F.col("a_name"))).otherwise(
+        nonempty_sr & has_cyrillic_col(F.col("a_name_sr"))
+    )
+    walk_name = F.when(F.col("is_serbia"), F.col("a_name")).otherwise(F.col("a_name_sr"))
     e = ent.filter(
         F.col("a_place").isin(*APPLICABLE_PLACES)
         & wp_pred
         & ~F.coalesce(excl, F.lit(False))
         & (F.coalesce(F.col("a_name"), F.lit("")) != "")
-        & has_cyrillic_col(F.col("a_name"))
+        & cyr_gate
     ).select(
         "doc_id",
-        F.col("a_name").alias("name"),
+        "map_name",
+        walk_name.alias("name"),
         F.col("lat").alias("e_lat"),
         F.col("lon").alias("e_lon"),
     )
@@ -112,6 +155,7 @@ def wiki_guess_df(spark, docs, wikipedia_mode: str = "missing"):
             & (dist <= 20.0)
         ).select(
             "doc_id",
+            "map_name",
             "name",
             F.col(f"{p_prefix}_title").alias("guess_title"),
             key_col.alias("path_key"),
@@ -151,12 +195,13 @@ def wiki_guess_df(spark, docs, wikipedia_mode: str = "missing"):
     w3 = valid_win("p3", d3, key3)
 
     cands = w1.unionByName(w2).unionByName(w3)
-    w = Window.partitionBy("doc_id").orderBy("path_key")
+    w = Window.partitionBy("doc_id", "map_name").orderBy("path_key")
     return (
         cands.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             "doc_id",
+            "map_name",
             "name",
             "guess_title",
             (F.length("path_key") / 2 + 1).cast("int").alias("depth"),
@@ -165,7 +210,7 @@ def wiki_guess_df(spark, docs, wikipedia_mode: str = "missing"):
 
 
 # ---------------------------------------------------------------------- sql
-def sql_wiki_guess(docs_sql: str, wikipedia_mode: str = "missing") -> str:
+def sql_wiki_guess(docs_sql: str, wikipedia_mode: str = "missing", maps=DEFAULT_MAPS) -> str:
     def esc(s):
         return s.replace("'", "''")
 
@@ -176,6 +221,7 @@ def sql_wiki_guess(docs_sql: str, wikipedia_mode: str = "missing") -> str:
     else:
         raise ValueError(wikipedia_mode)
 
+    maps_values = ", ".join(f"('{esc(m)}', {str(s).lower()})" for m, s in maps)
     pages_vals = ", ".join(
         f"('{esc(t)}', {str(d).lower()}, "
         + (f"{la}, {lo}" if la is not None else "NULL, NULL")
@@ -191,17 +237,22 @@ def sql_wiki_guess(docs_sql: str, wikipedia_mode: str = "missing") -> str:
     WITH pages(title, is_disambig, lat, lon) AS (VALUES {pages_vals}),
     links(parent, ord, child) AS (VALUES {links_vals}),
     e AS (
-      SELECT doc_id, name, lat AS e_lat, lon AS e_lon FROM ({docs_sql})
+      SELECT doc_id, m.map_name,
+             CASE WHEN m.is_serbia THEN name ELSE name_sr END AS name,
+             lat AS e_lat, lon AS e_lon
+      FROM ({docs_sql}) CROSS JOIN (VALUES {maps_values}) AS m(map_name, is_serbia)
       WHERE place IN ('city', 'town', 'village') AND {wp_pred}
         AND NOT (is_in_country IS NOT NULL AND is_in_country <> 'Serbia')
-        AND coalesce(name, '') <> '' AND {sql_has_cyrillic('name')}
+        AND coalesce(name, '') <> ''
+        AND (CASE WHEN m.is_serbia THEN {sql_has_cyrillic('name')}
+             ELSE (coalesce(name_sr, '') <> '' AND {sql_has_cyrillic('name_sr')}) END)
     ),
     w1 AS (
-      SELECT e.doc_id, e.name, p1.title AS guess_title, '' AS path_key
+      SELECT e.doc_id, e.map_name, e.name, p1.title AS guess_title, '' AS path_key
       FROM e JOIN pages p1 ON p1.title = e.name WHERE {win('p1')}
     ),
     w2 AS (
-      SELECT e.doc_id, e.name, p2.title AS guess_title,
+      SELECT e.doc_id, e.map_name, e.name, p2.title AS guess_title,
              lpad(CAST(l1.ord AS VARCHAR), 2, '0') AS path_key
       FROM e JOIN pages p1 ON p1.title = e.name AND p1.is_disambig
       JOIN links l1 ON l1.parent = p1.title
@@ -209,7 +260,7 @@ def sql_wiki_guess(docs_sql: str, wikipedia_mode: str = "missing") -> str:
       WHERE {win('p2')}
     ),
     w3 AS (
-      SELECT e.doc_id, e.name, p3.title AS guess_title,
+      SELECT e.doc_id, e.map_name, e.name, p3.title AS guess_title,
              lpad(CAST(l1.ord AS VARCHAR), 2, '0') ||
              lpad(CAST(l2.ord AS VARCHAR), 2, '0') AS path_key
       FROM e JOIN pages p1 ON p1.title = e.name AND p1.is_disambig
@@ -220,8 +271,9 @@ def sql_wiki_guess(docs_sql: str, wikipedia_mode: str = "missing") -> str:
       WHERE {win('p3')}
     ),
     cands AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3)
-    SELECT doc_id, name, guess_title,
+    SELECT doc_id, map_name, name, guess_title,
            CAST(length(path_key) / 2 + 1 AS INT) AS depth
-    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY path_key) AS rn FROM cands)
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, map_name ORDER BY path_key) AS rn
+          FROM cands)
     WHERE rn = 1
     """

@@ -74,3 +74,18 @@ def test_multi_suggestion_pipeline_shapes(spark):
         if len(r.suggestions) == 2:
             s = r.suggestions[1]
             assert s.tag == "int_name" and s.is_delete is True and s.val is None
+
+
+def test_multi_suggestion_auto_applicable_from_vote(spark):
+    """VERDICT r2 item 6: vote=false in the query metadata means the
+    suggestions need no community vote -> auto_applicable=true."""
+    from serbian_osm_lint_spark.operators import queries as q29
+    from serbian_osm_lint_spark.sources import catalog
+
+    docs = catalog.docs_table(spark, SF_SMALL)
+    rows = q29.multi_suggestion_df(spark, docs).select(
+        "auto_applicable", "metadata"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.auto_applicable is (not r.metadata.vote)
