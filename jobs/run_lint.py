@@ -23,7 +23,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--n-buckets", type=int, default=8)
+    # the stored doc table fixes its bucket domain at write time; passing a
+    # different count is rejected by run_resumable (silent skip = data loss)
+    ap.add_argument("--n-buckets", type=int, default=None)
     ap.add_argument("--report", action="store_true", help="print report aggregates")
     args = ap.parse_args()
 
@@ -47,7 +49,7 @@ def main():
     )
     manifest = resume.BucketManifest(f"{args.out}/_manifest")
     lineage = manifest.done_buckets()
-    verdicts = resume.read_result(spark, args.out, n_buckets=args.n_buckets)
+    verdicts = resume.read_result(spark, args.out)
     metrics = {
         "buckets_processed_this_run": processed,
         "buckets_total": len(lineage),

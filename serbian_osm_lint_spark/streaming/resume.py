@@ -50,56 +50,97 @@ def run_resumable(
     docs,
     process_fn,
     out_dir: str,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
     fail_after: int | None = None,
+    max_concurrency: int = 4,
 ):
     """Process ``docs`` bucket-by-bucket with resume.
 
     ``process_fn(spark, docs_subset) -> DataFrame`` is the per-bucket
     pipeline (e.g. lint verdicts). Completed buckets are skipped on
     re-run. ``fail_after=k`` aborts after k buckets (test hook for
-    kill/resume). Returns the number of buckets processed this run.
+    kill/resume; forces serial execution so "after k buckets" is
+    deterministic). Returns the number of buckets processed this run.
 
-    Pruning: when ``docs`` carries the stored ``bucket_id`` partition
-    column (``catalog.docs_table`` lays the table out that way), the
-    per-bucket filter is a PARTITION filter — each bucket's run reads
-    only that bucket's files instead of re-scanning the whole table
-    (n_buckets× read amplification otherwise). The ad-hoc hash fallback
-    remains for un-partitioned inputs; the derivation is identical
-    (``pmod(xxhash64(doc_id), n_buckets)``), content-hash, never RNG.
+    Bucket-count contract: when ``docs`` carries the STORED ``bucket_id``
+    partition column, the bucket domain is fixed at write time
+    (``catalog.N_DOC_BUCKETS``) — the loop bound derives from the
+    catalog, and a caller-passed ``n_buckets`` that disagrees raises
+    instead of silently never processing buckets ``n_buckets..N-1``
+    (data loss). Only the ad-hoc hash fallback (un-partitioned input,
+    ``pmod(xxhash64(doc_id), n)``) honors a caller-chosen count.
+
+    Pruning: on the stored path the per-bucket filter is a PARTITION
+    filter — each bucket's run reads only that bucket's files.
+
+    Metrics: per-bucket row counts are captured DURING the write via
+    ``df.observe`` (an ``Observation`` per bucket) — the output is never
+    re-read to count it (the old ``read.count()`` was a second full pass
+    over everything written). Pending buckets are submitted from a small
+    thread pool: Spark schedules concurrent jobs fine, so the cluster
+    isn't idle between bucket jobs; each bucket's manifest marker is
+    still written only after ITS write completes (kill-safety unchanged).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     manifest = BucketManifest(os.path.join(out_dir, "_manifest"))
     done = set(manifest.done_buckets())
-    bucket_col = "bucket_id" if "bucket_id" in docs.columns else "_bucket"
-    if bucket_col == "_bucket":
+    if "bucket_id" in docs.columns:
+        from ..sources import catalog
+
+        stored_n = catalog.N_DOC_BUCKETS
+        if n_buckets is not None and n_buckets != stored_n:
+            raise ValueError(
+                f"docs carries the stored bucket_id column with "
+                f"{stored_n} buckets; n_buckets={n_buckets} would skip "
+                f"buckets {min(n_buckets, stored_n)}..{stored_n - 1}"
+            )
+        n_buckets = stored_n
+        bucket_col = "bucket_id"
+        bucketed = docs
+    else:
+        n_buckets = 8 if n_buckets is None else n_buckets
+        bucket_col = "_bucket"
         bucketed = docs.withColumn(
             "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
         )
-    else:
-        bucketed = docs
-    processed = 0
-    for b in range(n_buckets):
-        if b in done:
-            continue
+
+    def run_bucket(b: int) -> int:
         subset = bucketed.filter(F.col(bucket_col) == b).drop(bucket_col)
         result = process_fn(spark, subset)
+        obs = Observation()
+        observed = result.observe(obs, F.count(F.lit(1)).alias("rows"))
         path = os.path.join(out_dir, f"bucket={b}")
-        result.write.mode("overwrite").parquet(path)
-        n = spark.read.parquet(path).count()
-        manifest.mark_done(b, {"rows": n, "bucket": b})
-        processed += 1
-        if fail_after is not None and processed >= fail_after:
-            raise RuntimeError(f"injected failure after {processed} buckets")
-    return processed
+        observed.write.mode("overwrite").parquet(path)
+        manifest.mark_done(b, {"rows": obs.get["rows"], "bucket": b})
+        return b
+
+    pending = [b for b in range(n_buckets) if b not in done]
+    if fail_after is not None:
+        processed = 0
+        for b in pending:
+            run_bucket(b)
+            processed += 1
+            if processed >= fail_after:
+                raise RuntimeError(f"injected failure after {processed} buckets")
+        return processed
+    if not pending:
+        return 0
+    with ThreadPoolExecutor(max_workers=min(max_concurrency, len(pending))) as pool:
+        return len(list(pool.map(run_bucket, pending)))
 
 
-def read_result(spark, out_dir: str, n_buckets: int = 8):
-    """Union of all completed bucket outputs."""
+def read_result(spark, out_dir: str, n_buckets: int | None = None):
+    """Union of all completed bucket outputs (discovered by glob, so a
+    caller's bucket-count guess can't hide written buckets)."""
+    import glob
+
     paths = [
-        os.path.join(out_dir, f"bucket={b}")
-        for b in range(n_buckets)
-        if os.path.exists(os.path.join(out_dir, f"bucket={b}", "_SUCCESS"))
+        p
+        for p in sorted(glob.glob(os.path.join(out_dir, "bucket=*")))
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
     ]
     return spark.read.parquet(*paths)

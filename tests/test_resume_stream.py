@@ -125,3 +125,97 @@ def test_streaming_available_now_idempotent(spark, tmp_path):
     assert n2 == 0
     again = spark.read.parquet(os.path.join(out, "verdicts")).count()
     assert again == len(want)
+
+
+def test_resume_rejects_mismatched_bucket_count(spark, out_dir):
+    """ADVICE r2: with the stored bucket_id column the bucket domain is
+    fixed at write time; a caller passing a smaller n_buckets used to
+    silently never process buckets n..N-1 (data loss). Now it raises."""
+    from serbian_osm_lint_spark.sources import catalog
+    from serbian_osm_lint_spark.streaming import resume
+
+    docs = catalog.docs_table(spark, SF_SMALL)
+    assert "bucket_id" in docs.columns
+    with pytest.raises(ValueError, match="would skip buckets"):
+        resume.run_resumable(spark, docs, _verdicts_fn, out_dir, n_buckets=4)
+
+
+def test_resume_never_rereads_bucket_output(spark, out_dir, monkeypatch):
+    """VERDICT r2 item 4: per-bucket row counts come from df.observe
+    during the write — the bucket output directory must not be scanned
+    again after its write (the old read-back was a second full pass)."""
+    import os
+
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from serbian_osm_lint_spark.sources import catalog
+    from serbian_osm_lint_spark.streaming import resume
+
+    docs = catalog.docs_table(spark, SF_SMALL)
+    read_paths = []
+    orig_parquet = DataFrameReader.parquet
+
+    def spy_parquet(self, *paths, **kw):
+        read_paths.extend(paths)
+        return orig_parquet(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy_parquet)
+    processed = resume.run_resumable(spark, docs, _verdicts_fn, out_dir)
+    assert processed == catalog.N_DOC_BUCKETS
+    out_reads = [p for p in read_paths if str(p).startswith(str(out_dir))]
+    assert out_reads == []
+    # and the observe-captured metrics equal the actually written row counts
+    manifest = resume.BucketManifest(os.path.join(out_dir, "_manifest"))
+    lineage = manifest.done_buckets()
+    total = sum(m["rows"] for m in lineage.values())
+    assert total == resume.read_result(spark, out_dir).count()
+
+
+def test_iceberg_seam_roundtrip(spark, tmp_path, monkeypatch):
+    """VERDICT r2 item 5: exercise the Iceberg branch of the catalog (not
+    the parquet fallback) through a contract shim — write_table must route
+    through format('iceberg').save and read_table through
+    format('iceberg').load, and the table must round-trip."""
+    from pyspark.sql.readwriter import DataFrameReader, DataFrameWriter
+
+    from serbian_osm_lint_spark.sources import catalog
+
+    used = {"write": [], "read": []}
+    orig_wfmt = DataFrameWriter.format
+    orig_rfmt = DataFrameReader.format
+
+    class WShim:
+        def __init__(self, writer):
+            self._w = writer
+
+        def save(self, path):
+            self._w.parquet(path)
+
+    class RShim:
+        def __init__(self, reader):
+            self._r = reader
+
+        def load(self, path):
+            return self._r.parquet(path)
+
+    def wfmt(self, fmt):
+        used["write"].append(fmt)
+        return WShim(self) if fmt == "iceberg" else orig_wfmt(self, fmt)
+
+    def rfmt(self, fmt):
+        used["read"].append(fmt)
+        return RShim(self) if fmt == "iceberg" else orig_rfmt(self, fmt)
+
+    monkeypatch.setattr(catalog, "iceberg_available", lambda *a, **k: True)
+    monkeypatch.setattr(DataFrameWriter, "format", wfmt)
+    monkeypatch.setattr(DataFrameReader, "format", rfmt)
+
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1), (3, "c", 0)], "id long, s string, part int"
+    )
+    path = str(tmp_path / "t")
+    catalog.write_table(df, path, partition_by=["part"])
+    got = catalog.read_table(spark, path)
+    assert used["write"] == ["iceberg"]
+    assert used["read"] == ["iceberg"]
+    assert sorted((r.id, r.s) for r in got.collect()) == [(1, "a"), (2, "b"), (3, "c")]
