@@ -46,7 +46,7 @@ from ..functions.geo import (
 )
 from .spans import with_flat_entity
 
-#: toy "Serbia" admin boundary: one concave outer ring + one hole,
+#: toy "Serbia" admin boundary: one concave outer ring + two holes,
 #: (lat, lon) vertices. Stands in for the real admin polygon; the PIP
 #: machinery is shape-agnostic.
 SERBIA_RING = [
@@ -56,6 +56,10 @@ SERBIA_RING = [
 ]
 SERBIA_HOLES = [
     [(43.4, 20.6), (43.4, 21.0), (43.8, 21.0), (43.8, 20.6)],
+    # second hole (non-rectilinear) in the Banat area — exercises the
+    # multi-hole parity path and shares a latitude with outer-ring
+    # vertices so vertex-on-ray degeneracy is live in the fixtures
+    [(44.9, 21.2), (45.1, 21.45), (44.95, 21.7), (44.75, 21.4)],
 ]
 
 

@@ -104,3 +104,52 @@ def test_knn_pairs_ordered_and_bounded(spark):
         assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
         assert all(lst[i][1] <= lst[i + 1][1] for i in range(len(lst) - 1))
         assert len(lst) <= 5
+
+
+def test_pip_second_hole_and_vertex_on_ray():
+    """VERDICT r2 stretch: second (non-rectilinear) hole + vertex-on-ray
+    degeneracy — a horizontal ray through vertex latitudes (44.9 shares
+    three vertices; 43.4 is collinear with hole 1's horizontal edge) must
+    still classify by half-open parity."""
+    # second hole: interior excluded, east of it back inside the polygon
+    assert not spatial.point_in_polygon_py(44.93, 21.43)  # in hole 2
+    assert spatial.point_in_polygon_py(44.93, 21.75)      # east of hole 2
+    assert spatial.point_in_polygon_py(44.80, 21.25)      # south-west of hole 2
+    # rays exactly through vertex latitudes
+    assert spatial.point_in_polygon_py(44.9, 20.0)        # inside, ray hits 3 vertices
+    assert not spatial.point_in_polygon_py(44.9, 23.5)    # east outside
+    assert not spatial.point_in_polygon_py(44.9, 18.0)    # west outside
+    # ray collinear with hole 1's horizontal edge (lat 43.4)
+    assert spatial.point_in_polygon_py(43.4, 19.8)        # left of the hole, inside
+    assert not spatial.point_in_polygon_py(43.4, 24.0)    # outside east
+
+
+def test_pip_edge_sweep_property(spark):
+    """Property sweep along EVERY polygon edge (outer ring + both holes):
+    a pair of points nudged +-eps across the edge must differ in
+    containment (the edge is a real boundary everywhere), and the
+    cover-prefiltered Spark path must agree with the Python ray-cast on
+    all of them (boundary cells included)."""
+    import math
+
+    eps = 1e-5
+    probes = []  # (doc_id, lat, lon, expected)
+    for ei, (y1, x1, y2, x2) in enumerate(spatial.EDGES):
+        dy, dx = y2 - y1, x2 - x1
+        norm = math.hypot(dy, dx)
+        ny, nx = -dx / norm, dy / norm  # unit normal
+        for t in (0.15, 0.35, 0.55, 0.75, 0.95):
+            py, px = y1 + t * dy, x1 + t * dx
+            a = (py + eps * ny, px + eps * nx)
+            b = (py - eps * ny, px - eps * nx)
+            ra = spatial.point_in_polygon_py(*a)
+            rb = spatial.point_in_polygon_py(*b)
+            assert ra != rb, (ei, t, a, b)
+            probes.append((f"e{ei}t{t}p", a[0], a[1], ra))
+            probes.append((f"e{ei}t{t}m", b[0], b[1], rb))
+
+    rows = [(pid, {"place": "city", "name": "x"}, (la, lo)) for pid, la, lo, _ in probes]
+    docs = make_docs(spark, rows)
+    fast = {r.doc_id: r.in_serbia for r in spatial.point_in_serbia_df(spark, docs).collect()}
+    for pid, la, lo, want in probes:
+        assert fast[pid] == want, (pid, la, lo)
