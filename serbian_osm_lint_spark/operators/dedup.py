@@ -587,3 +587,93 @@ def sql_embedding_near_dups() -> str:
     FROM probed a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {cos} >= {COSINE_DUP_THRESHOLD}
     """
+
+
+# ------------------------------------------------- near-dup components
+#: safety bound for the label-propagation loop (graph diameter rounds;
+#: near-dup graphs are shallow — planted corpora converge in <= 3).
+MAX_CC_ITERS = 50
+
+
+def components_from(pairs):
+    """Connected components of an undirected pair graph
+    ``(doc_id_a, doc_id_b)`` → ``(doc_id, component_id, is_canonical)``
+    with ``component_id`` = min doc_id reachable (one row per doc that
+    appears in at least one pair).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min label over itself and its neighbors; fixpoint after
+    O(diameter) rounds. The label column only ever decreases, so the
+    cheap convergence signal is ``sum(label)`` going stable (one scalar
+    agg action per round, no change-join). Each round is one shuffle of
+    (node, label); ``localCheckpoint`` truncates the lineage so Catalyst
+    plans stay flat across iterations. Near-dup graphs are shallow
+    (copies cluster around an original), so rounds ≈ 2-3 in practice; a
+    10^12-doc run with adversarial chains would swap in large-star /
+    small-star (O(log n) rounds) — same per-round join shape.
+
+    Deterministic: the fixpoint is unique, independent of execution
+    order, so the DuckDB recursive-CTE oracle reaches the same labels.
+    """
+    from pyspark.sql import functions as F
+
+    fwd = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    rev = pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(MAX_CC_ITERS):
+        incoming = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        labels = (
+            labels.unionByName(incoming)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("component_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+def dedup_components_df(spark, sf_dir: str):
+    """Near-dup groups: connected components over the MinHash-LSH pair
+    graph (the step a production dedup runs after pair generation — keep
+    one canonical doc per component, not per pair)."""
+    pairs = minhash_lsh_pairs_df(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    return components_from(pairs)
+
+
+def sql_dedup_components() -> str:
+    """DuckDB twin: min-reachable-label via a recursive CTE (UNION
+    dedups, so the walk terminates); same unique fixpoint as the Spark
+    label propagation."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_id_a, doc_id_b FROM ({_sql_lsh_verified_pairs(JACCARD_THRESHOLD)})
+    ),
+    edges AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+      UNION SELECT doc_id_b, doc_id_a FROM pairs
+    ),
+    walk(doc_id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
+    )
+    SELECT doc_id, min(label) AS component_id,
+           doc_id = min(label) AS is_canonical
+    FROM walk GROUP BY doc_id
+    """

@@ -205,3 +205,40 @@ def test_derived_planes_bound_bucket_occupancy(spark):
     assert n2 > n1 and p2 > p1  # plane count grows with the corpus
     for avg in (avg1, avg2):
         assert avg <= 4 * dedup.TARGET_BUCKET_SIZE  # occupancy bounded
+
+
+def test_components_chain_and_isolated_pair(spark):
+    """Label propagation must close transitive chains (diameter > 1) and
+    keep disconnected pairs apart."""
+    from serbian_osm_lint_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 6), (10, 11)],
+        "doc_id_a long, doc_id_b long",
+    )
+    got = {
+        r.doc_id: (r.component_id, r.is_canonical)
+        for r in dedup.components_from(pairs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        6: (6, True), 7: (6, False),
+        10: (10, True), 11: (10, False),
+    }
+
+
+def test_dedup_components_groups_planted_copies(spark):
+    """Each original with both an exact (+1e6) and a mutated (+2e6) copy
+    must land in ONE component canonicalized at the original."""
+    from serbian_osm_lint_spark.operators import dedup
+
+    comp = {
+        r.doc_id: r.component_id
+        for r in dedup.dedup_components_df(spark, SF_SMALL).collect()
+    }
+    assert len(comp) > 0
+    both = [d for d in comp if d < 1000000 and d % 7 == 0 and d % 10 == 0]
+    for d in both:
+        assert comp[d] == d
+        assert comp.get(d + 1000000) == d
+        assert comp.get(d + 2000000) == d
