@@ -6,15 +6,31 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <dir>, "docs_per_sec": ...}
 
-Each query is timed end-to-end (action = count) after a warm-up of the
-input file listing; the lint pipeline is the headline (verdicts +
-tile assignments, the BASELINE.json metric).
+Measurement protocol (round-4 hardening; VERDICT r3 "What's wrong" #1):
+
+* Action = a CONSUMING aggregate (`count(*)` + `bit_xor(xxhash64(all cols))`),
+  not a bare `.count()`. A bare count lets Catalyst prune every computed
+  column nothing consumes (check messages, fix values, tile ids), so the
+  old harness partially measured a narrower plan than the one users run.
+  Hashing every output column forces full materialization of the query's
+  semantics while keeping the reduce itself trivial.
+* Per query: ONE warm-up run (JIT + page cache + broadcast warm), then
+  THREE timed runs, reporting the MEDIAN. Round 3 showed a single-shot
+  harness can read +5.4% when two quiet-box runs measured -9% — median-
+  of-3 with a warm-up bounds that noise.
+* Every run builds a FRESH plan (calls the query fn again): re-collecting
+  the same DataFrame silently reuses shuffle map outputs and would time
+  only the final reduce (see BENCH/BASELINE.md).
+
+`queries` holds the per-query medians; `runs` holds all three samples so
+the artifact itself shows the spread.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,6 +38,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def consume(df):
+    """Force full materialization: hash every output column into one row."""
+    from pyspark.sql import functions as F
+
+    return df.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64(*df.columns)).alias("h"),  # overflow-free under ANSI
+    ).collect()[0]
 
 
 def main():
@@ -68,10 +95,16 @@ def main():
     }
 
     timings = {}
+    samples = {}
     for name, fn in benches.items():
-        t0 = time.perf_counter()
-        fn().count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        consume(fn())  # warm-up: fresh plan, result discarded
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            consume(fn())  # fresh plan each run — no shuffle-output reuse
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = round(statistics.median(runs), 3)
+        samples[name] = runs
 
     total = round(sum(timings.values()), 3)
     # headline throughput: docs fully linted+tiled per second
@@ -83,6 +116,8 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": samples,
+                "protocol": "median-of-%d, warmed, consuming xxhash64 agg" % N_RUNS,
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "n_docs": n_docs,
