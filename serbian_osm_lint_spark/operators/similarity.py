@@ -32,6 +32,18 @@ N_PLANES = 4
 TOPK = 5
 N_QUERIES = 20  # vec_id < N_QUERIES form the query set
 
+#: independent hyperplane SETS (band-OR amplification, VERDICT r3 item 2):
+#: candidates are the UNION over sets of same-bucket collisions, exactly
+#: the multiple-independent-bucket-functions construction that made
+#: simhash recall exact. A near pair split by >= 2 planes of set 0 (the
+#: 1-bit-probe blind spot) is found whenever ANY set leaves it <= 1 plane
+#: apart; per-set miss probabilities multiply.
+N_PLANE_SETS = 3
+#: plane-index stride between sets (set s uses LCG plane indices
+#: [s*stride, s*stride + n_planes)); centroids live at offset 1000+, so
+#: strides stay clear of them for any realistic plane count.
+PLANE_SET_STRIDE = 200
+
 
 def _lcg_weight(plane: int, dim: int) -> float:
     """Deterministic pseudo-weight in [-1, 1): LCG over (plane, dim)."""
@@ -39,8 +51,9 @@ def _lcg_weight(plane: int, dim: int) -> float:
     return ((x % 2001) - 1000) / 1000.0
 
 
-def _hyperplanes(n_planes: int = N_PLANES) -> list[list[float]]:
-    return [[_lcg_weight(p, d) for d in range(EMB_DIM)] for p in range(n_planes)]
+def _hyperplanes(n_planes: int = N_PLANES, plane_set: int = 0) -> list[list[float]]:
+    base = plane_set * PLANE_SET_STRIDE
+    return [[_lcg_weight(base + p, d) for d in range(EMB_DIM)] for p in range(n_planes)]
 
 
 # ------------------------------------------------------------------ spark
@@ -64,21 +77,22 @@ def _cosine(a, b):
     return F.round(_dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6)
 
 
-def sign_bucket_col(v, n_planes: int = N_PLANES):
+def sign_bucket_col(v, n_planes: int = N_PLANES, plane_set: int = 0):
     """Random-hyperplane sign bucket of a double-array column: bit p is
-    set iff dot(v, plane_p) > 0. Deterministic (LCG planes, no RNG)."""
+    set iff dot(v, plane_p) > 0. Deterministic (LCG planes, no RNG);
+    ``plane_set`` selects one of the independent band-OR plane sets."""
     from pyspark.sql import functions as F
 
     bucket = None
-    for i, plane in enumerate(_hyperplanes(n_planes)):
+    for i, plane in enumerate(_hyperplanes(n_planes, plane_set)):
         term = (_dot(v, F.array(*[F.lit(w) for w in plane])) > 0).cast("int") * (1 << i)
         bucket = term if bucket is None else bucket + term
     return bucket
 
 
-def sql_sign_bucket(v: str, n_planes: int = N_PLANES) -> str:
+def sql_sign_bucket(v: str, n_planes: int = N_PLANES, plane_set: int = 0) -> str:
     bit_terms = []
-    for i, plane in enumerate(_hyperplanes(n_planes)):
+    for i, plane in enumerate(_hyperplanes(n_planes, plane_set)):
         arr = "[" + ", ".join(repr(w) for w in plane) + "]"
         bit_terms.append(f"(CASE WHEN {_sql_dot(v, arr)} > 0 THEN {1 << i} ELSE 0 END)")
     return "(" + " + ".join(bit_terms) + ")"
@@ -112,33 +126,49 @@ def ann_cosine_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUE
 
 
 def ann_lsh_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
-    """LSH-bucketed variant: sign-pattern bucket (plane count derived
-    from the corpus size) then in-bucket re-rank; each query probes its
-    bucket + the 1-bit flips (multi-probe holds recall as the derived
-    plane count grows)."""
+    """LSH-bucketed variant: band-OR over :data:`N_PLANE_SETS`
+    independent sign-bucket plane sets (plane count derived from the
+    corpus size via parquet FOOTER metadata — zero sizing jobs), each
+    query probing its per-set bucket + the 1-bit flips; candidates are
+    unioned across sets, deduped, then exact-cosine re-ranked. A true
+    neighbor is missed only if EVERY set splits it by ≥ 2 planes."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from .dedup import n_planes_for, probe_buckets_col
+    from ..sources.catalog import parquet_row_count
+    from .dedup import n_planes_for, probe_set_buckets_col, set_buckets_col
 
+    n_planes = n_planes_for(parquet_row_count(f"{sf_dir}/embeddings.parquet"))
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _to_double(F.col("embedding")).alias("v")
     )
-    n_planes = n_planes_for(emb.count())
-    emb = emb.withColumn("bucket", sign_bucket_col(F.col("v"), n_planes))
+    corpus = emb.select(
+        F.posexplode(set_buckets_col(F.col("v"), n_planes, N_PLANE_SETS)).alias(
+            "set_id", "bucket"
+        ),
+        "vec_id",
+        "v",
+    )
     queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.explode(
+            probe_set_buckets_col(F.col("v"), n_planes, N_PLANE_SETS, multiprobe=True)
+        ).alias("p"),
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.explode(probe_buckets_col(F.col("bucket"), n_planes)).alias("bucket"),
+    ).select(
+        F.col("p.set_id").alias("set_id"),
+        F.col("p.bucket").alias("bucket"),
+        "query_id",
+        "qv",
     )
-    cand = emb.join(F.broadcast(queries), "bucket").filter(
+    cand = corpus.join(F.broadcast(queries), ["set_id", "bucket"]).filter(
         F.col("vec_id") != F.col("query_id")
     )
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         _cosine(F.col("qv"), F.col("v")).alias("cosine"),
-    )
+    ).distinct()  # a candidate found by several sets/probes scores once
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -297,23 +327,29 @@ def sql_ann_ivf_topk(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
 def sql_ann_lsh_topk(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
     """DuckDB twin; plane count pinned to the driver-contract corpus size
     (``dedup.ORACLE_EMB_N`` — the Spark face derives the same number from
-    its live count), query-side 1-bit multi-probe replicated."""
+    the parquet footer; sf0.01-only, guarded by a test), band-OR plane
+    sets + per-set query-side 1-bit multi-probe replicated."""
     from .dedup import ORACLE_EMB_N, n_planes_for
 
     n_planes = n_planes_for(ORACLE_EMB_N)
-    bucket = sql_sign_bucket("v", n_planes)
     cos = _sql_cosine("q.qv", "e.v")
+    per_set = " UNION ALL ".join(
+        f"SELECT vec_id, v, {s} AS set_id, {sql_sign_bucket('v', n_planes, s)} AS bucket FROM emb"
+        for s in range(N_PLANE_SETS)
+    )
     return f"""
-    WITH emb AS (SELECT vec_id, v, {bucket} AS bucket FROM ({_SQL_EMB})),
+    WITH emb AS ({_SQL_EMB}),
+    bk AS ({per_set}),
     q AS (
-      SELECT vec_id AS query_id, v AS qv,
+      SELECT vec_id AS query_id, v AS qv, set_id,
              CASE WHEN i = 0 THEN bucket ELSE xor(bucket, 1 << (i - 1)) END AS bucket
-      FROM emb CROSS JOIN (SELECT unnest(range(0, {n_planes + 1})) AS i)
+      FROM bk CROSS JOIN (SELECT unnest(range(0, {n_planes + 1})) AS i)
       WHERE vec_id < {n_queries}
     ),
     scored AS (
-      SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cosine
-      FROM emb e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id
+      SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id, {cos} AS cosine
+      FROM bk e JOIN q ON e.set_id = q.set_id AND e.bucket = q.bucket
+      WHERE e.vec_id <> q.query_id
     )
     SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank

@@ -57,6 +57,26 @@ def load_tpch(spark, sf_dir: str, name: str):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def parquet_row_count(path: str) -> int:
+    """Row count from parquet FOOTER metadata — no Spark job (VERDICT r3
+    item 3: operators that size themselves from the corpus, e.g. the LSH
+    plane count, must not run a full ``count()`` scan before their real
+    pipeline starts). At scale this is the catalog's table-stats call
+    (Iceberg snapshot ``total-records``); on the parquet fallback it reads
+    only footers, driver-side. Accepts a single file or a directory of
+    part files."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 #: bump when the synth derivation changes (invalidates cached doc tables).
 SYNTH_VERSION = "v5"
 

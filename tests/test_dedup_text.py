@@ -4,7 +4,7 @@ stable under small mutation, ANN-LSH recall vs brute force, media plumbing."""
 
 import pytest
 
-from conftest import SF_SMALL
+from conftest import SF_ORACLE, SF_SMALL
 
 
 def test_exact_dedup_finds_planted_copies(spark):
@@ -242,3 +242,63 @@ def test_dedup_components_groups_planted_copies(spark):
         assert comp[d] == d
         assert comp.get(d + 1000000) == d
         assert comp.get(d + 2000000) == d
+
+
+def test_band_or_finds_two_plane_straddle_pair(spark):
+    """VERDICT r3 item 2: a qualifying pair split by >= 2 hyperplanes of
+    set 0 is invisible to the single-set 1-bit probe; band-OR over the
+    independent plane sets must find it. The fixture pair (deterministic
+    numpy seeds) has cosine 0.974, set-0 bucket hamming 2, set-1 hamming
+    0 — missed with n_sets=1, found with the default band-OR."""
+    import numpy as np
+    from serbian_osm_lint_spark.operators import dedup
+    from serbian_osm_lint_spark.operators.similarity import EMB_DIM, _hyperplanes
+
+    a = np.random.default_rng(0).standard_normal(EMB_DIM)
+    b = a + 0.25 * np.random.default_rng(100000 + 21).standard_normal(EMB_DIM)
+    n_planes = 4
+    p0 = np.array(_hyperplanes(n_planes, 0))
+    assert int(((p0 @ a > 0) != (p0 @ b > 0)).sum()) == 2  # fixture invariant
+    emb = spark.createDataFrame(
+        [(1, [float(x) for x in a]), (2, [float(x) for x in b])],
+        "vec_id long, v array<double>",
+    )
+    single = dedup.emb_near_dup_pairs_from(emb, n_planes, n_sets=1).collect()
+    assert single == []  # the documented r3 blind spot
+    band_or = {(r.vec_id_a, r.vec_id_b) for r in dedup.emb_near_dup_pairs_from(emb, n_planes).collect()}
+    assert (1, 2) in band_or
+
+
+def test_lsh_sizing_runs_no_spark_job(spark, monkeypatch):
+    """VERDICT r3 item 3: plane-count sizing must come from table stats
+    (parquet footers), not a count() scan — building the LSH operators
+    must trigger zero Spark jobs/actions before the caller's action."""
+    from pyspark.sql import DataFrame
+
+    from serbian_osm_lint_spark.operators import dedup, similarity
+
+    def _boom(self):
+        raise AssertionError("operator build phase ran a Spark action")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    df1 = dedup.embedding_near_dups_df(spark, SF_SMALL)
+    df2 = similarity.ann_lsh_topk_df(spark, SF_SMALL)
+    monkeypatch.undo()
+    assert df1.columns == ["vec_id_a", "vec_id_b", "cosine"]
+    assert df2.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_oracle_emb_n_matches_driver_table():
+    """The static DuckDB twins pin their plane counts to ORACLE_EMB_N at
+    the sf0.01 gate; fail fast (ADVICE r3) if the driver table ever
+    changes size, because the pinned oracle would silently mismatch."""
+    from serbian_osm_lint_spark.operators.dedup import ORACLE_EMB_N
+    from serbian_osm_lint_spark.sources.catalog import parquet_row_count
+
+    n = parquet_row_count(f"{SF_ORACLE}/embeddings.parquet")
+    assert n == ORACLE_EMB_N, (
+        f"sf0.01 embeddings has {n} rows but the DuckDB oracle twins pin "
+        f"ORACLE_EMB_N={ORACLE_EMB_N}; update ORACLE_EMB_N (and re-check "
+        "derived plane counts) or the oracle gate mismatches by construction"
+    )
