@@ -302,3 +302,22 @@ def test_oracle_emb_n_matches_driver_table():
         f"ORACLE_EMB_N={ORACLE_EMB_N}; update ORACLE_EMB_N (and re-check "
         "derived plane counts) or the oracle gate mismatches by construction"
     )
+
+
+def test_components_chain_converges_in_log_rounds(spark):
+    """VERDICT r3 item 4: a planted 1,000-node chain (worst-case diameter)
+    must converge in O(log n) rounds — ~10 for hook + pointer-jump, where
+    plain min-label propagation would need ~1,000 (far past MAX_CC_ITERS,
+    which now raises instead of returning un-converged labels)."""
+    from serbian_osm_lint_spark.operators import dedup
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_id_a long, doc_id_b long"
+    ).repartition(4)
+    out, rounds = dedup._components_with_rounds(pairs)
+    labels = {r.doc_id: (r.component_id, r.is_canonical) for r in out.collect()}
+    assert len(labels) == n
+    assert all(c == 1 for c, _ in labels.values())  # one component, min id 1
+    assert labels[1] == (1, True)
+    assert rounds <= 12, f"chain needed {rounds} rounds; O(log n) bound broken"
