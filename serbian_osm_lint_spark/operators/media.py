@@ -42,13 +42,40 @@ def _decode_image_stub(digest: bytes):
     return 64 + digest[0] % 192, 64 + digest[1] % 192
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
 def try_real_decode(payload: bytes):
-    """Real decoder hook — requires PIL, absent in this image."""
+    """Real decoder: (width, height) of an actual image payload.
+
+    PNG is decoded natively (VERDICT r3 item 5): the IHDR chunk is
+    mandated to be first by the PNG spec, so dims are a pure struct parse
+    of the header — no imaging library. Other formats fall back to PIL,
+    which this container lacks, so they raise ``NotImplementedError``
+    (the documented sandbox gate)."""
+    import struct
+
+    if payload[:8] == PNG_MAGIC:
+        if len(payload) < 24 or payload[12:16] != b"IHDR":
+            raise ValueError("corrupt PNG: IHDR not first chunk")
+        width, height = struct.unpack(">II", payload[16:24])
+        if width == 0 or height == 0:
+            raise ValueError("corrupt PNG: zero dimension")
+        return width, height
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - expected in sandbox
-        raise NotImplementedError("image decode requires PIL (not installed)") from exc
-    raise NotImplementedError("real decode path not wired in the sandbox")
+        raise NotImplementedError("non-PNG decode requires PIL (not installed)") from exc
+    raise NotImplementedError("real non-PNG decode path not wired in the sandbox")
+
+
+def _decode_dims(payload: bytes, digest: bytes):
+    """Per-payload dims: REAL decode for recognized formats (PNG header
+    parse), deterministic stub otherwise (the synthetic corpus payloads
+    are utf-8 refs, so the oracle-gated rows stay on the stub path)."""
+    if payload[:8] == PNG_MAGIC:
+        return try_real_decode(payload)
+    return _decode_image_stub(digest)
 
 
 def media_payloads_df(spark, docs):
@@ -65,12 +92,13 @@ def media_payloads_df(spark, docs):
     ).withColumn("payload", F.encode(F.col("media_ref"), "utf-8"))
 
 
-def extract_media_features_df(spark, docs, batch_hint: int = 1024):
-    """mapInPandas feature extraction: decode-stub + md5-derived feature
-    vector per media span. Arrow-batched; the per-payload md5 loop runs
-    inside the batch function (the real-decode analogue), never at the
-    Spark row boundary."""
-    src = media_payloads_df(spark, docs)
+def media_features_from(payloads):
+    """mapInPandas feature extraction over a ``(doc_id, media_ref,
+    payload)`` frame: real decode for recognized formats (PNG header
+    parse), decode-stub otherwise, + md5-derived feature vector per
+    media span. Arrow-batched; the per-payload loop runs inside the
+    batch function (the real-decode analogue), never at the Spark row
+    boundary."""
 
     def extract(batches):
         for pdf in batches:
@@ -79,8 +107,9 @@ def extract_media_features_df(spark, docs, batch_hint: int = 1024):
             heights = np.empty(n, dtype=np.int32)
             feats = np.empty((n, FEATURE_DIM), dtype=np.float64)
             for i, payload in enumerate(pdf["payload"]):
-                digest = hashlib.md5(bytes(payload)).digest()
-                widths[i], heights[i] = _decode_image_stub(digest)
+                payload = bytes(payload)
+                digest = hashlib.md5(payload).digest()
+                widths[i], heights[i] = _decode_dims(payload, digest)
                 feats[i] = np.frombuffer(digest[:FEATURE_DIM], dtype=np.uint8) / 255.0
             out = {
                 "doc_id": pdf["doc_id"],
@@ -93,7 +122,13 @@ def extract_media_features_df(spark, docs, batch_hint: int = 1024):
                 out[f"feature_{j}"] = np.round(feats[:, j], 6)
             yield pd.DataFrame(out)
 
-    return src.mapInPandas(extract, MEDIA_FEATURES_SCHEMA)
+    return payloads.mapInPandas(extract, MEDIA_FEATURES_SCHEMA)
+
+
+def extract_media_features_df(spark, docs, batch_hint: int = 1024):
+    """Media features over the doc table's media spans (see
+    :func:`media_features_from` for the batch shape)."""
+    return media_features_from(media_payloads_df(spark, docs))
 
 
 FRAME_STRIDE = 4

@@ -321,3 +321,54 @@ def test_components_chain_converges_in_log_rounds(spark):
     assert all(c == 1 for c, _ in labels.values())  # one component, min id 1
     assert labels[1] == (1, True)
     assert rounds <= 12, f"chain needed {rounds} rounds; O(log n) bound broken"
+
+
+def _make_png(w: int, h: int) -> bytes:
+    """Minimal complete PNG (8-bit RGB, black) — pure struct/zlib."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(3 * w) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_real_decode_through_mapinpandas(spark):
+    """VERDICT r3 item 5: the real-decode seam runs on a real byte format —
+    a synthesized PNG's dims come from its IHDR header (struct parse),
+    not the md5 stub, through the full mapInPandas path."""
+    from serbian_osm_lint_spark.operators import media
+
+    png = _make_png(37, 21)
+    df = spark.createDataFrame(
+        [("d1", "img/real.png", bytearray(png)), ("d2", "img/fake", bytearray(b"img/fake"))],
+        "doc_id string, media_ref string, payload binary",
+    )
+    rows = {r.doc_id: r for r in media.media_features_from(df).collect()}
+    assert (rows["d1"].width, rows["d1"].height) == (37, 21)
+    assert rows["d1"].byte_len == len(png)
+    # non-PNG payloads stay on the deterministic stub (oracle-gated shape)
+    assert 64 <= rows["d2"].width < 256 and 64 <= rows["d2"].height < 256
+
+
+def test_png_header_parse_direct():
+    import pytest
+
+    from serbian_osm_lint_spark.operators import media
+
+    assert media.try_real_decode(_make_png(1920, 1080)) == (1920, 1080)
+    with pytest.raises(ValueError):
+        media.try_real_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + b"XXXX" + b"\x00" * 8)
+    with pytest.raises(NotImplementedError):
+        media.try_real_decode(b"not a png")
