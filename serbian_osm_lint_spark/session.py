@@ -36,6 +36,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # FAIR scheduling so concurrent jobs (resume buckets, ad-hoc
+        # queries) share executors instead of a large early job starving
+        # the rest under FIFO; threads opt in via a per-thread pool
+        # (streaming/resume.py). Single-job workloads are unaffected.
+        .config("spark.scheduler.mode", "FAIR")
     )
     if emulate_executors:
         builder = builder.config(

@@ -44,6 +44,27 @@ class BucketManifest:
             json.dump(metrics, fh)
         os.replace(tmp, os.path.join(self.path, f"bucket_{bucket}.done"))
 
+    def claim_domain(self, n_buckets: int) -> None:
+        """Record the bucket domain on first run; REJECT a re-run whose
+        count differs (ADVICE r3: on the hash-fallback path a different
+        ``n_buckets`` re-bucketing the same out_dir would union stale
+        ``bucket=*`` dirs from the old domain — silent duplication)."""
+        path = os.path.join(self.path, "domain.json")
+        if os.path.exists(path):
+            with open(path) as fh:
+                stored = json.load(fh)["n_buckets"]
+            if stored != n_buckets:
+                raise ValueError(
+                    f"out_dir was written with n_buckets={stored}; re-running "
+                    f"with n_buckets={n_buckets} would mix bucket domains "
+                    "(stale bucket=* outputs) — use a fresh out_dir"
+                )
+            return
+        tmp = os.path.join(self.path, ".domain.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"n_buckets": n_buckets}, fh)
+        os.replace(tmp, path)
+
 
 def run_resumable(
     spark,
@@ -108,14 +129,24 @@ def run_resumable(
             "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
         )
 
+    manifest.claim_domain(n_buckets)
+
     def run_bucket(b: int) -> int:
-        subset = bucketed.filter(F.col(bucket_col) == b).drop(bucket_col)
-        result = process_fn(spark, subset)
-        obs = Observation()
-        observed = result.observe(obs, F.count(F.lit(1)).alias("rows"))
-        path = os.path.join(out_dir, f"bucket={b}")
-        observed.write.mode("overwrite").parquet(path)
-        manifest.mark_done(b, {"rows": obs.get["rows"], "bucket": b})
+        # per-bucket FAIR pool (pool name is a thread-local property):
+        # under the session's FAIR scheduler each bucket's jobs share
+        # executors instead of one large early bucket starving the rest
+        # in the default pool's FIFO order.
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"resume_{b}")
+        try:
+            subset = bucketed.filter(F.col(bucket_col) == b).drop(bucket_col)
+            result = process_fn(spark, subset)
+            obs = Observation()
+            observed = result.observe(obs, F.count(F.lit(1)).alias("rows"))
+            path = os.path.join(out_dir, f"bucket={b}")
+            observed.write.mode("overwrite").parquet(path)
+            manifest.mark_done(b, {"rows": obs.get["rows"], "bucket": b})
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
         return b
 
     pending = [b for b in range(n_buckets) if b not in done]
