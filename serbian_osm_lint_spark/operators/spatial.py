@@ -252,6 +252,74 @@ def knn_dup_names_df(spark, docs, k: int = 5, zoom: int = CELL_ZOOM):
     )
 
 
+#: per-(cell, name) candidate cap for the skew-bounded kNN variant.
+KNN_CAP = 64
+
+
+def knn_dup_names_capped_df(spark, docs, k: int = 5, zoom: int = CELL_ZOOM, cap: int = KNN_CAP):
+    """Skew-bounded J8 (VERDICT r3 item 8): same as
+    :func:`knn_dup_names_df` but the RIGHT side keeps at most ``cap``
+    entities per (cell, name) bucket (deterministic: first ``cap`` by
+    doc_id).
+
+    Why: a hot (cell, name) bucket — 10k "Београд" nodes in one urban
+    cell — makes the pair join QUADRATIC in the bucket (50M pairs from
+    one key). AQE skew-split rebalances tasks but cannot shrink the pair
+    space; the cap does: candidates per doc ≤ 9·cap, so work is LINEAR
+    in bucket size. Semantics shift from deduped pairs (``a < b``) to
+    per-doc kNN — EVERY doc is ranked against the capped sample (a
+    ``a < b`` cap would starve all docs above the sample of candidates
+    entirely). With bucket sizes ≤ cap the neighbor set per doc is the
+    full bucket, i.e. exact; above it, neighbors come from the
+    deterministic sample — and a bucket that big is itself a dedup
+    finding. The DuckDB twin replays the cap exactly, so this stays
+    hash-verified. Output: (doc_id, neighbor_id, name, dist_km, rank)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ent = with_flat_entity(docs)
+    pts = ent.select(
+        "doc_id",
+        F.col("a_name").alias("name"),
+        "lat",
+        "lon",
+        tile_x_col(F.col("lon"), zoom).alias("cx"),
+        tile_y_col(F.col("lat"), zoom).alias("cy"),
+    ).filter(F.coalesce(F.col("name"), F.lit("")) != "")
+    left = pts.select(
+        F.col("doc_id"),
+        F.col("name"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(geo.neighbor_cells_col(F.col("cx"), F.col("cy"), zoom)).alias("cell_id"),
+    )
+    wcap = Window.partitionBy("cell_id", "name").orderBy("neighbor_id")
+    right = (
+        pts.select(
+            F.col("doc_id").alias("neighbor_id"),
+            F.col("name"),
+            F.col("lat").alias("lat_b"),
+            F.col("lon").alias("lon_b"),
+            (F.shiftleft(F.col("cx"), zoom) + F.col("cy")).alias("cell_id"),
+        )
+        .withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    pairs = left.join(right, ["cell_id", "name"]).filter(
+        F.col("doc_id") != F.col("neighbor_id")
+    )
+    dist = F.round(
+        haversine_km_col(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("dist_km"), F.col("neighbor_id"))
+    return (
+        pairs.select("doc_id", "neighbor_id", "name", dist.alias("dist_km"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def tile_assignment_df(spark, docs, zoom: int = TILE_ZOOM):
     """J9: assign each media span to the slippy tile containing the doc's
     point — pure projection; the tile key is equi-join-ready."""
@@ -330,6 +398,37 @@ def sql_knn_dup_names(docs_sql: str, k: int = 5, zoom: int = CELL_ZOOM) -> str:
     )
     SELECT doc_id_a, doc_id_b, name, dist_km, CAST(rank AS INT) AS rank FROM (
       SELECT *, row_number() OVER (PARTITION BY doc_id_a ORDER BY dist_km, doc_id_b) AS rank
+      FROM pairs
+    ) WHERE rank <= {k}
+    """
+
+
+def sql_knn_dup_names_capped(
+    docs_sql: str, k: int = 5, zoom: int = CELL_ZOOM, cap: int = KNN_CAP
+) -> str:
+    """Twin of :func:`knn_dup_names_capped_df`: neighbors limited to the
+    first ``cap`` doc_ids per home (cell, name) bucket; per-doc kNN."""
+    dist = sql_haversine_km("a.lat", "a.lon", "b.lat", "b.lon")
+    return f"""
+    WITH pts AS (
+      SELECT doc_id, name, lat, lon,
+             {sql_tile_x('lon', zoom)} AS cx, {sql_tile_y('lat', zoom)} AS cy
+      FROM ({docs_sql}) WHERE coalesce(name, '') <> ''
+    ), capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY cx * {1 << zoom} + cy, name ORDER BY doc_id) AS rn
+        FROM pts
+      ) WHERE rn <= {cap}
+    ), pairs AS (
+      SELECT a.doc_id, b.doc_id AS neighbor_id, a.name,
+             round({dist}, 6) AS dist_km
+      FROM pts a JOIN capped b
+        ON a.name = b.name AND a.doc_id <> b.doc_id
+       AND abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+    )
+    SELECT doc_id, neighbor_id, name, dist_km, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist_km, neighbor_id) AS rank
       FROM pairs
     ) WHERE rank <= {k}
     """

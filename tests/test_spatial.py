@@ -153,3 +153,35 @@ def test_pip_edge_sweep_property(spark):
     fast = {r.doc_id: r.in_serbia for r in spatial.point_in_serbia_df(spark, docs).collect()}
     for pid, la, lo, want in probes:
         assert fast[pid] == want, (pid, la, lo)
+
+
+def test_knn_capped_bounds_hot_cell_pair_space(spark):
+    """VERDICT r3 item 8 (adversarial skew): a hot (cell, name) bucket —
+    N same-name docs in ONE cell — makes the uncapped kNN join quadratic
+    (N(N-1)/2 pairs from one key; AQE rebalances tasks but can't shrink
+    the pair space). The capped variant bounds candidates per left row by
+    the cap, so total pair work is LINEAR in N — which is exactly what
+    bounds per-task time at 100 TB."""
+    from serbian_osm_lint_spark.operators import spatial
+
+    n, cap = 2000, spatial.KNN_CAP
+    rows = [
+        (str(i), {"name": "Београд"}, (44.8 + i * 1e-7, 20.4 + i * 1e-7))
+        for i in range(n)
+    ]
+    docs = make_docs(spark, rows).repartition(8)
+
+    huge_k = 10**9  # keep every post-cap pair so count == candidate space
+    capped = spatial.knn_dup_names_capped_df(spark, docs, k=huge_k)
+    capped_pairs = capped.count()
+    uncapped_pairs = spatial.knn_dup_names_df(spark, docs, k=huge_k).count()
+    assert uncapped_pairs == n * (n - 1) // 2  # the quadratic blowup
+    assert capped_pairs <= n * cap  # linear in bucket size
+
+    # full coverage: EVERY doc in the hot bucket still gets neighbors
+    # (a naive a<b cap starves all docs above the sample — regression
+    # caught while writing this test), each capped at the sample size
+    per_doc = {r.doc_id: r.n for r in capped.groupBy("doc_id").count()
+               .withColumnRenamed("count", "n").collect()}
+    assert len(per_doc) == n
+    assert all(cap - 1 <= c <= cap for c in per_doc.values())
