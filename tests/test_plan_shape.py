@@ -48,6 +48,18 @@ def test_knn_is_equi_join(spark):
     )
 
 
+def test_knn_capped_is_equi_join(spark):
+    from serbian_osm_lint_spark.operators import spatial
+    from serbian_osm_lint_spark.sources import catalog
+
+    docs = catalog.docs_table(spark, SF_SMALL)
+    plan = _plan(spatial.knn_dup_names_capped_df(spark, docs))
+    assert "NestedLoop" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
 def test_bucket_filter_is_partition_pruning(spark):
     """VERDICT r1: the stored doc table is partitioned by the doc_id hash
     bucket; a per-bucket filter (the resume unit of work) must prune to
