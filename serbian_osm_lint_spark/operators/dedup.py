@@ -689,10 +689,13 @@ def _components_with_rounds(pairs):
         )
         # carry the previous label through so convergence is an exact
         # changed-row COUNT on the checkpointed frame — not a sum(label)
-        # signal that could wrap on huge graphs (ADVICE r3)
+        # signal that could wrap on huge graphs (ADVICE r3). The LAZY
+        # checkpoint materializes under the count itself: one job per
+        # round, not a materialize-job + a count-job (the per-round
+        # driver-side fixed cost is what bounds scaling efficiency).
         new_labels = (
             jumped.join(labels.withColumnRenamed("label", "old_label"), "doc_id")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
         labels = new_labels.select("doc_id", "label")
