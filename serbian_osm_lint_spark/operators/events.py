@@ -21,13 +21,17 @@ def events_windowed_df(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # avg derives from the ROUNDED sum (not F.avg): the raw sums differ
+    # between engines by an ulp (summation order), which flips
+    # round-half ties — caught by an sf0.1 parity sweep (r4) on a group
+    # whose avg landed exactly on ...5 at the 7th decimal.
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 6).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
         )
+        .withColumn("avg_value", F.round(F.col("sum_value") / F.col("n_events"), 6))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -40,10 +44,11 @@ def events_windowed_df(spark, sf_dir: str):
 
 def sql_events_windowed() -> str:
     return (
+        "SELECT window_start, event_type, n_events, sum_value, "
+        "round(sum_value / n_events, 6) AS avg_value FROM ("
         "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, "
-        "count(*) AS n_events, round(sum(value), 6) AS sum_value, "
-        "round(avg(value), 6) AS avg_value "
-        "FROM events GROUP BY 1, 2"
+        "count(*) AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY 1, 2)"
     )
 
 
