@@ -68,12 +68,6 @@ WS_SPLIT_RE = r"[ \t\n\r\f\x0B]+"
 #: derives the hyperplane count from.
 TARGET_BUCKET_SIZE = 32
 
-#: embeddings-table rows at the driver's sf0.01 correctness gate; the
-#: static DuckDB oracles pin their plane counts to this corpus size (the
-#: Spark faces derive the same number from the live table count).
-ORACLE_EMB_N = 500
-
-
 def n_planes_for(n_vectors: int) -> int:
     """Hyperplane count for ~:data:`TARGET_BUCKET_SIZE` vectors/bucket:
     ``ceil(log2(n / target))``. At 10^10 vectors this yields ~28 planes —
@@ -617,27 +611,34 @@ def embedding_near_dups_df(spark, sf_dir: str):
 
 
 def sql_embedding_near_dups() -> str:
-    """DuckDB twin, plane count pinned to the driver-contract corpus
-    (:data:`ORACLE_EMB_N` embeddings + 1/5 planted dups = 600 vectors —
-    the same number the Spark face derives from the parquet footer; the
-    oracle gate runs at sf0.01 only, and ``tests/test_dedup_text.py``
-    asserts that table still has exactly :data:`ORACLE_EMB_N` rows).
-    Band-OR plane sets + per-set 1-bit probe replicated."""
-    from .similarity import N_PLANE_SETS, _sql_cosine, sql_sign_bucket
+    """DuckDB twin with a RUNTIME plane count: the ``np`` CTE replays
+    :func:`n_planes_for` over the scanned corpus (the Spark face derives
+    the same number from the parquet footer), so the oracle gate is
+    scale-generic — it hash-matches at sf0.01 AND sf0.1 (tested). Band-OR
+    plane sets + per-set 1-bit probe replicated."""
+    from .similarity import (
+        MAX_ORACLE_PLANES,
+        N_PLANE_SETS,
+        _sql_cosine,
+        sql_n_planes,
+        sql_sign_bucket_dyn,
+    )
 
-    n_planes = n_planes_for(ORACLE_EMB_N + ORACLE_EMB_N // 5)
     cos = _sql_cosine("a.v", "b.v")
     per_set = " UNION ALL ".join(
-        f"SELECT vec_id, v, {s} AS set_id, {sql_sign_bucket('v', n_planes, s)} AS bucket FROM emb"
+        f"SELECT vec_id, v, {s} AS set_id, {sql_sign_bucket_dyn('v', 'np.n', s)} AS bucket "
+        "FROM emb, np"
         for s in range(N_PLANE_SETS)
     )
     return f"""
     WITH emb AS (SELECT vec_id, v FROM ({sql_with_emb_dups()})),
+    np AS ({sql_n_planes('emb')}),
     bk AS ({per_set}),
     probed AS (
       SELECT vec_id, v, set_id,
              CASE WHEN i = 0 THEN bucket ELSE xor(bucket, 1 << (i - 1)) END AS bucket
-      FROM bk CROSS JOIN (SELECT unnest(range(0, {n_planes + 1})) AS i)
+      FROM bk CROSS JOIN (SELECT unnest(range(0, {MAX_ORACLE_PLANES + 1})) AS i), np
+      WHERE i <= np.n
     )
     SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, {cos} AS cosine
     FROM probed a JOIN bk b ON a.set_id = b.set_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id

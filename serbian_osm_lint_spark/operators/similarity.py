@@ -98,6 +98,37 @@ def sql_sign_bucket(v: str, n_planes: int = N_PLANES, plane_set: int = 0) -> str
     return "(" + " + ".join(bit_terms) + ")"
 
 
+#: plane-term budget for the DYNAMIC SQL twins: covers corpora up to
+#: TARGET_BUCKET_SIZE * 2^16 = 2M vectors, far past any driver scale.
+MAX_ORACLE_PLANES = 16
+
+
+def sql_n_planes(count_from: str) -> str:
+    """SQL replica of ``dedup.n_planes_for`` over a live ``count(*)`` —
+    the twins derive the plane count from the scanned table instead of
+    pinning a corpus size, so the oracle gate is scale-generic."""
+    from .dedup import TARGET_BUCKET_SIZE
+
+    return (
+        f"SELECT GREATEST(1, CAST(CEIL(LOG2(GREATEST(2.0, "
+        f"count(*) / {TARGET_BUCKET_SIZE}.0))) AS INT)) AS n FROM {count_from}"
+    )
+
+
+def sql_sign_bucket_dyn(v: str, np_expr: str, plane_set: int = 0) -> str:
+    """Sign bucket with a RUNTIME plane count (``np_expr``, a 1-row CTE
+    column): plane ``i`` contributes its bit only when ``i < np_expr``.
+    All :data:`MAX_ORACLE_PLANES` dot products appear in the SQL text;
+    the CASE gates which feed the bucket."""
+    bit_terms = []
+    for i, plane in enumerate(_hyperplanes(MAX_ORACLE_PLANES, plane_set)):
+        arr = "[" + ", ".join(repr(w) for w in plane) + "]"
+        bit_terms.append(
+            f"(CASE WHEN {i} < {np_expr} AND {_sql_dot(v, arr)} > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bit_terms) + ")"
+
+
 def ann_cosine_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
     """(query_id, neighbor_id, cosine, rank): brute-force top-k."""
     from pyspark.sql import Window
@@ -325,26 +356,25 @@ def sql_ann_ivf_topk(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
 
 
 def sql_ann_lsh_topk(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
-    """DuckDB twin; plane count pinned to the driver-contract corpus size
-    (``dedup.ORACLE_EMB_N`` — the Spark face derives the same number from
-    the parquet footer; sf0.01-only, guarded by a test), band-OR plane
-    sets + per-set query-side 1-bit multi-probe replicated."""
-    from .dedup import ORACLE_EMB_N, n_planes_for
-
-    n_planes = n_planes_for(ORACLE_EMB_N)
+    """DuckDB twin with a RUNTIME plane count (the ``np`` CTE replays
+    ``dedup.n_planes_for`` over the scanned corpus, matching the Spark
+    face's parquet-footer derivation at any scale), band-OR plane sets +
+    per-set query-side 1-bit multi-probe replicated."""
     cos = _sql_cosine("q.qv", "e.v")
     per_set = " UNION ALL ".join(
-        f"SELECT vec_id, v, {s} AS set_id, {sql_sign_bucket('v', n_planes, s)} AS bucket FROM emb"
+        f"SELECT vec_id, v, {s} AS set_id, {sql_sign_bucket_dyn('v', 'np.n', s)} AS bucket "
+        "FROM emb, np"
         for s in range(N_PLANE_SETS)
     )
     return f"""
     WITH emb AS ({_SQL_EMB}),
+    np AS ({sql_n_planes('emb')}),
     bk AS ({per_set}),
     q AS (
       SELECT vec_id AS query_id, v AS qv, set_id,
              CASE WHEN i = 0 THEN bucket ELSE xor(bucket, 1 << (i - 1)) END AS bucket
-      FROM bk CROSS JOIN (SELECT unnest(range(0, {n_planes + 1})) AS i)
-      WHERE vec_id < {n_queries}
+      FROM bk CROSS JOIN (SELECT unnest(range(0, {MAX_ORACLE_PLANES + 1})) AS i), np
+      WHERE i <= np.n AND vec_id < {n_queries}
     ),
     scored AS (
       SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id, {cos} AS cosine

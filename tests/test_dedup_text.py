@@ -289,19 +289,37 @@ def test_lsh_sizing_runs_no_spark_job(spark, monkeypatch):
     assert df2.columns == ["query_id", "neighbor_id", "cosine", "rank"]
 
 
-def test_oracle_emb_n_matches_driver_table():
-    """The static DuckDB twins pin their plane counts to ORACLE_EMB_N at
-    the sf0.01 gate; fail fast (ADVICE r3) if the driver table ever
-    changes size, because the pinned oracle would silently mismatch."""
-    from serbian_osm_lint_spark.operators.dedup import ORACLE_EMB_N
-    from serbian_osm_lint_spark.sources.catalog import parquet_row_count
+def test_lsh_oracles_scale_generic(spark):
+    """ADVICE r3 closed the hard way: instead of pinning the twins to the
+    sf0.01 corpus size, the SQL now derives its plane count from a
+    runtime count(*) (the Spark face uses the parquet footer). The
+    embedding LSH oracles must therefore hash-match at BOTH driver
+    scales — plane counts 4/5 at sf0.01 vs 6/7 at sf0.1."""
+    import duckdb
 
-    n = parquet_row_count(f"{SF_ORACLE}/embeddings.parquet")
-    assert n == ORACLE_EMB_N, (
-        f"sf0.01 embeddings has {n} rows but the DuckDB oracle twins pin "
-        f"ORACLE_EMB_N={ORACLE_EMB_N}; update ORACLE_EMB_N (and re-check "
-        "derived plane counts) or the oracle gate mismatches by construction"
-    )
+    from serbian_osm_lint_spark.operators import dedup, similarity
+
+    for sf_dir in (SF_ORACLE, "/root/testdata/sf0.1"):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+        )
+        for qdf, sql in (
+            (dedup.embedding_near_dups_df(spark, sf_dir), dedup.sql_embedding_near_dups()),
+            (similarity.ann_lsh_topk_df(spark, sf_dir), similarity.sql_ann_lsh_topk()),
+        ):
+            sp = qdf.toPandas()
+            du = con.execute(sql).df()
+            cols = sorted(sp.columns)
+            assert cols == sorted(du.columns)
+            for df in (sp, du):
+                for c in cols:
+                    if str(df[c].dtype).startswith("float"):
+                        df[c] = df[c].round(6)
+            sp = sp[cols].astype(str).sort_values(cols).reset_index(drop=True)
+            du = du[cols].astype(str).sort_values(cols).reset_index(drop=True)
+            assert sp.equals(du), f"{sf_dir}: {len(sp)} vs {len(du)} rows"
+        con.close()
 
 
 def test_components_chain_converges_in_log_rounds(spark):
