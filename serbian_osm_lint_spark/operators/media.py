@@ -43,16 +43,60 @@ def _decode_image_stub(digest: bytes):
 
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8\xff"
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+#: SOF markers that carry frame dimensions (C4=DHT, C8=JPG, CC=DAC excluded).
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_dims(payload: bytes):
+    """(width, height) from the first SOFn segment of a JPEG marker
+    stream — the standard header walk (each non-standalone marker carries
+    a 2-byte big-endian length including itself)."""
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker byte")
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone (TEM/RSTn/SOI)
+            i += 2
+            continue
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            raise ValueError("corrupt JPEG: bad segment length")
+        if marker in _JPEG_SOF:
+            if i + 9 > n:
+                raise ValueError("corrupt JPEG: truncated SOF")
+            height = int.from_bytes(payload[i + 5 : i + 7], "big")
+            width = int.from_bytes(payload[i + 7 : i + 9], "big")
+            if width == 0 or height == 0:
+                raise ValueError("corrupt JPEG: zero dimension")
+            return width, height
+        i += 2 + seg_len
+    raise ValueError("corrupt JPEG: no SOF marker before end of payload")
+
+
+def _is_real_format(payload: bytes) -> bool:
+    return (
+        payload[:8] == PNG_MAGIC
+        or payload[:3] == JPEG_MAGIC
+        or payload[:6] in GIF_MAGICS
+    )
 
 
 def try_real_decode(payload: bytes):
     """Real decoder: (width, height) of an actual image payload.
 
-    PNG is decoded natively (VERDICT r3 item 5): the IHDR chunk is
-    mandated to be first by the PNG spec, so dims are a pure struct parse
-    of the header — no imaging library. Other formats fall back to PIL,
-    which this container lacks, so they raise ``NotImplementedError``
-    (the documented sandbox gate)."""
+    PNG (IHDR struct parse — the spec mandates IHDR first), JPEG (SOFn
+    marker walk), and GIF (logical-screen descriptor) are decoded
+    natively — pure header parses, no imaging library (VERDICT r3 item 5,
+    extended to the three major raster families in r4). Anything else
+    falls back to PIL, which this container lacks, so it raises
+    ``NotImplementedError`` (the documented sandbox gate)."""
     import struct
 
     if payload[:8] == PNG_MAGIC:
@@ -62,18 +106,30 @@ def try_real_decode(payload: bytes):
         if width == 0 or height == 0:
             raise ValueError("corrupt PNG: zero dimension")
         return width, height
+    if payload[:3] == JPEG_MAGIC:
+        return _jpeg_dims(payload)
+    if payload[:6] in GIF_MAGICS:
+        if len(payload) < 10:
+            raise ValueError("corrupt GIF: truncated logical screen descriptor")
+        width, height = struct.unpack("<HH", payload[6:10])
+        if width == 0 or height == 0:
+            raise ValueError("corrupt GIF: zero dimension")
+        return width, height
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - expected in sandbox
-        raise NotImplementedError("non-PNG decode requires PIL (not installed)") from exc
-    raise NotImplementedError("real non-PNG decode path not wired in the sandbox")
+        raise NotImplementedError(
+            "decode beyond PNG/JPEG/GIF headers requires PIL (not installed)"
+        ) from exc
+    raise NotImplementedError("real exotic-format decode path not wired in the sandbox")
 
 
 def _decode_dims(payload: bytes, digest: bytes):
-    """Per-payload dims: REAL decode for recognized formats (PNG header
-    parse), deterministic stub otherwise (the synthetic corpus payloads
-    are utf-8 refs, so the oracle-gated rows stay on the stub path)."""
-    if payload[:8] == PNG_MAGIC:
+    """Per-payload dims: REAL decode for recognized formats (PNG/JPEG/GIF
+    header parse), deterministic stub otherwise (the synthetic corpus
+    payloads are utf-8 refs, so the oracle-gated rows stay on the stub
+    path)."""
+    if _is_real_format(payload):
         return try_real_decode(payload)
     return _decode_image_stub(digest)
 

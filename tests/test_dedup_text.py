@@ -390,3 +390,66 @@ def test_png_header_parse_direct():
         media.try_real_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + b"XXXX" + b"\x00" * 8)
     with pytest.raises(NotImplementedError):
         media.try_real_decode(b"not a png")
+
+
+def _make_jpeg(w: int, h: int) -> bytes:
+    """Minimal JPEG marker stream: SOI, APP0 (JFIF), a COM segment the
+    walker must skip, then SOF0 carrying the dims."""
+    import struct
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    sof0 = struct.pack(">BHHB", 8, h, w, 3) + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFE, b"comment the walker must skip")
+        + seg(0xC0, sof0)
+        + seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+        + b"\xff\xd9"
+    )
+
+
+def _make_gif(w: int, h: int) -> bytes:
+    """GIF89a header + logical screen descriptor (little-endian dims)."""
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
+
+
+def test_jpeg_gif_header_parse_direct():
+    import pytest
+
+    from serbian_osm_lint_spark.operators import media
+
+    assert media.try_real_decode(_make_jpeg(640, 480)) == (640, 480)
+    assert media.try_real_decode(_make_gif(320, 200)) == (320, 200)
+    # JPEG with the SOF segment truncated away → no dims to find
+    with pytest.raises(ValueError):
+        media.try_real_decode(b"\xff\xd8\xff\xe0\x00\x04\x00\x00\xff\xd9")
+    with pytest.raises(ValueError):
+        media.try_real_decode(b"GIF89a\x00\x00")  # truncated descriptor
+    with pytest.raises(ValueError):
+        media.try_real_decode(_make_gif(0, 10))  # zero dimension
+
+
+def test_jpeg_gif_real_decode_through_mapinpandas(spark):
+    """The real-decode seam covers all three raster families through the
+    full mapInPandas path: synthesized JPEG/GIF dims come from their
+    headers, not the md5 stub."""
+    from serbian_osm_lint_spark.operators import media
+
+    jpg, gif = _make_jpeg(99, 77), _make_gif(55, 44)
+    df = spark.createDataFrame(
+        [
+            ("d1", "img/a.jpg", bytearray(jpg)),
+            ("d2", "img/b.gif", bytearray(gif)),
+            ("d3", "img/fake", bytearray(b"img/fake")),
+        ],
+        "doc_id string, media_ref string, payload binary",
+    )
+    rows = {r.doc_id: r for r in media.media_features_from(df).collect()}
+    assert (rows["d1"].width, rows["d1"].height) == (99, 77)
+    assert (rows["d2"].width, rows["d2"].height) == (55, 44)
+    assert 64 <= rows["d3"].width < 256 and 64 <= rows["d3"].height < 256
