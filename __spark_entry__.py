@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk_df(s, d),
         "media_features": lambda s, d: media.extract_media_features_df(s, _docs(s, d)),
         "media_frames": lambda s, d: media.sample_media_frames_df(s, _docs(s, d)),
+        "media_audio_probe": lambda s, d: media.probe_media_audio_df(s, _docs(s, d)),
         # event-stream operators (batch faces; streaming twins in tests)
         "events_windowed": lambda s, d: events.events_windowed_df(s, d),
         "sessionize": lambda s, d: events.sessionize_df(s, d),
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": similarity.sql_ann_ivf_topk(),
         "media_features": media.sql_media_features(d),
         "media_frames": media.sql_media_frames(d),
+        "media_audio_probe": media.sql_audio_probe(d),
         "events_windowed": events.sql_events_windowed(),
         "sessionize": events.sql_sessionize(),
         "wiki_guess": wikiwalk.sql_wiki_guess(d),

@@ -187,6 +187,132 @@ def extract_media_features_df(spark, docs, batch_hint: int = 1024):
     return media_features_from(media_payloads_df(spark, docs))
 
 
+#: sample-rate palette for the deterministic audio stub.
+WAV_RATES = (8000, 16000, 22050, 44100, 48000)
+
+AUDIO_PROBE_SCHEMA = (
+    "doc_id string, media_ref string, byte_len int, sample_rate int, "
+    "channels int, bits_per_sample int, n_samples bigint, duration_us bigint"
+)
+
+
+def _audio_probe_stub(digest: bytes):
+    """Deterministic fake audio probe (md5-derived, mirrors the image
+    stub): (sample_rate, channels, bits_per_sample, n_samples)."""
+    rate = WAV_RATES[digest[3] % len(WAV_RATES)]
+    channels = 1 + digest[4] % 2
+    bits = 8 * (1 + digest[5] % 2)
+    n_samples = rate * (1 + digest[6] % 30) + digest[7]
+    return rate, channels, bits, n_samples
+
+
+def try_real_audio_probe(payload: bytes):
+    """Real audio probe: (sample_rate, channels, bits_per_sample,
+    n_samples) from a RIFF/WAVE payload — a pure chunk walk over the
+    canonical WAV container (``fmt `` for the format fields, ``data``
+    for the sample count), no audio library. Non-WAV payloads raise
+    ``NotImplementedError`` (the documented sandbox gate — decoding
+    compressed codecs needs libs this container lacks)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("audio probe beyond WAV headers needs an audio library")
+    i, n = 12, len(payload)
+    fmt = data_size = None
+    while i + 8 <= n:
+        chunk_id = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if chunk_id == b"fmt ":
+            if size < 16 or i + 24 > n:
+                raise ValueError("corrupt WAV: short fmt chunk")
+            body = payload[i + 8 : i + 24]
+            fmt = (
+                int.from_bytes(body[4:8], "little"),  # sample rate
+                int.from_bytes(body[2:4], "little"),  # channels
+                int.from_bytes(body[14:16], "little"),  # bits/sample
+            )
+        elif chunk_id == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("corrupt WAV: missing fmt/data chunk")
+    rate, channels, bits = fmt
+    if rate == 0 or channels == 0 or bits not in (8, 16, 24, 32):
+        raise ValueError("corrupt WAV: bad fmt fields")
+    return rate, channels, bits, data_size // (channels * (bits // 8))
+
+
+def audio_probe_from(payloads):
+    """mapInPandas audio probe over ``(doc_id, media_ref, payload)``:
+    REAL RIFF/WAVE header walk for WAV payloads, deterministic md5 stub
+    otherwise (the synthetic corpus payloads are utf-8 refs, so the
+    oracle-gated rows stay on the stub path). ``duration_us`` is exact
+    integer microseconds — no float column, so the DuckDB twin replays
+    it with pure integer arithmetic."""
+
+    def probe(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "doc_id": pdf["doc_id"],
+                "media_ref": pdf["media_ref"],
+                "byte_len": pdf["payload"].map(len).astype("int32"),
+            }
+            rates = np.empty(n, dtype=np.int32)
+            chans = np.empty(n, dtype=np.int32)
+            bits = np.empty(n, dtype=np.int32)
+            samples = np.empty(n, dtype=np.int64)
+            for i, payload in enumerate(pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    rates[i], chans[i], bits[i], samples[i] = try_real_audio_probe(payload)
+                else:
+                    digest = hashlib.md5(payload).digest()
+                    rates[i], chans[i], bits[i], samples[i] = _audio_probe_stub(digest)
+            out.update(
+                sample_rate=rates, channels=chans, bits_per_sample=bits,
+                n_samples=samples,
+                duration_us=samples * np.int64(1_000_000) // rates,
+            )
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(probe, AUDIO_PROBE_SCHEMA)
+
+
+def probe_media_audio_df(spark, docs):
+    """Audio metadata over the doc table's media spans (see
+    :func:`audio_probe_from` for the batch shape)."""
+    return audio_probe_from(media_payloads_df(spark, docs))
+
+
+def sql_audio_probe(docs_sql: str) -> str:
+    """DuckDB twin of :func:`probe_media_audio_df`: the same md5-derived
+    stub fields via hex-slice arithmetic, duration in exact integer
+    microseconds."""
+
+    def byte(j: int) -> str:
+        return f"CAST(concat('0x', substring(h, {2 * j + 1}, 2)) AS INT)"
+
+    rate_case = "CASE (" + byte(3) + " % 5)" + "".join(
+        f" WHEN {i} THEN {r}" for i, r in enumerate(WAV_RATES[:-1])
+    ) + f" ELSE {WAV_RATES[-1]} END"
+    return f"""
+    WITH d AS ({docs_sql}),
+    m AS (SELECT doc_id, media_ref, md5(media_ref) AS h FROM d),
+    p AS (
+      SELECT doc_id, media_ref, CAST(length(media_ref) AS INT) AS byte_len,
+             CAST({rate_case} AS INT) AS sample_rate,
+             CAST(1 + {byte(4)} % 2 AS INT) AS channels,
+             CAST(8 * (1 + {byte(5)} % 2) AS INT) AS bits_per_sample,
+             {byte(6)} AS b6, {byte(7)} AS b7
+      FROM m
+    )
+    SELECT doc_id, media_ref, byte_len, sample_rate, channels, bits_per_sample,
+           CAST(sample_rate * (1 + b6 % 30) + b7 AS BIGINT) AS n_samples,
+           CAST((CAST(sample_rate * (1 + b6 % 30) + b7 AS BIGINT) * 1000000)
+                // sample_rate AS BIGINT) AS duration_us
+    FROM p
+    """
+
+
 FRAME_STRIDE = 4
 
 

@@ -434,6 +434,76 @@ def test_jpeg_gif_header_parse_direct():
         media.try_real_decode(_make_gif(0, 10))  # zero dimension
 
 
+def _make_wav(rate: int, channels: int, bits: int, n_samples: int) -> bytes:
+    """Minimal canonical WAV: RIFF header, a LIST chunk the walker must
+    skip, fmt chunk, data chunk of silence."""
+    import struct
+
+    block = channels * (bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    data = bytes(n_samples * block)
+    chunks = (
+        b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_audio_probe_direct():
+    import pytest
+
+    from serbian_osm_lint_spark.operators import media
+
+    assert media.try_real_audio_probe(_make_wav(44100, 2, 16, 1234)) == (44100, 2, 16, 1234)
+    assert media.try_real_audio_probe(_make_wav(8000, 1, 8, 99)) == (8000, 1, 8, 99)
+    with pytest.raises(ValueError):
+        media.try_real_audio_probe(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data
+    with pytest.raises(NotImplementedError):
+        media.try_real_audio_probe(b"ID3\x04mp3-ish payload")
+
+
+def test_audio_probe_through_mapinpandas_and_oracle(spark):
+    """WAV payloads get REAL header-walk metadata; stub rows hash-match
+    the DuckDB twin (quick local parity over the sf0.001 corpus)."""
+    import duckdb
+
+    from serbian_osm_lint_spark import synth
+    from serbian_osm_lint_spark.operators import media
+    from serbian_osm_lint_spark.sources import catalog
+
+    wav = _make_wav(22050, 1, 16, 22050 + 37)
+    df = spark.createDataFrame(
+        [("d1", "aud/real.wav", bytearray(wav)), ("d2", "aud/fake", bytearray(b"aud/fake"))],
+        "doc_id string, media_ref string, payload binary",
+    )
+    rows = {r.doc_id: r for r in media.audio_probe_from(df).collect()}
+    assert (rows["d1"].sample_rate, rows["d1"].channels, rows["d1"].bits_per_sample) == (22050, 1, 16)
+    assert rows["d1"].n_samples == 22050 + 37
+    assert rows["d1"].duration_us == (22050 + 37) * 1_000_000 // 22050
+    assert rows["d2"].sample_rate in media.WAV_RATES
+
+    sf_dir = "/root/testdata/sf0.001"
+    sp = (
+        media.probe_media_audio_df(spark, catalog.docs_table(spark, sf_dir))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{sf_dir}/customer.parquet'")
+    du = (
+        con.execute(media.sql_audio_probe(synth.sql_scalar_tags()))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con.close()
+    assert sorted(sp.columns) == sorted(du.columns)
+    sp, du = sp[sorted(sp.columns)], du[sorted(du.columns)]
+    assert sp.astype(str).equals(du.astype(str))
+
+
 def test_jpeg_gif_real_decode_through_mapinpandas(spark):
     """The real-decode seam covers all three raster families through the
     full mapInPandas path: synthesized JPEG/GIF dims come from their
