@@ -313,24 +313,86 @@ def sql_audio_probe(docs_sql: str) -> str:
     """
 
 
+def _bmff_find(buf: bytes, start: int, end: int, target: bytes):
+    """First ISO-BMFF box named ``target`` in [start, end): returns the
+    (body_start, box_end) span. Handles 64-bit largesize and size-0
+    (to-end) boxes."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(buf[i : i + 4], "big")
+        typ = buf[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("corrupt MP4: truncated largesize box")
+            size = int.from_bytes(buf[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            raise ValueError("corrupt MP4: bad box size")
+        if typ == target:
+            return i + hdr, i + size
+        i += size
+    return None
+
+
+def try_real_video_probe(payload: bytes):
+    """Real video probe: (timescale, duration_units, duration_ms, width,
+    height) from an MP4/ISO-BMFF container — a pure box walk to
+    ``moov/mvhd`` (movie timescale + duration) and the first
+    ``moov/trak/tkhd`` (presentation dims, 16.16 fixed point), no video
+    library. Non-BMFF payloads raise ``NotImplementedError`` (the
+    documented sandbox gate — real frame decode needs codecs this
+    container lacks)."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise NotImplementedError("video probe beyond MP4/ISO-BMFF headers needs a codec library")
+    moov = _bmff_find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("corrupt MP4: no moov box")
+    mvhd = _bmff_find(payload, moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        raise ValueError("corrupt MP4: no mvhd box")
+    s = mvhd[0]
+    if payload[s] == 1:  # version 1: 64-bit times
+        timescale = int.from_bytes(payload[s + 20 : s + 24], "big")
+        duration = int.from_bytes(payload[s + 24 : s + 32], "big")
+    else:
+        timescale = int.from_bytes(payload[s + 12 : s + 16], "big")
+        duration = int.from_bytes(payload[s + 16 : s + 20], "big")
+    if timescale == 0:
+        raise ValueError("corrupt MP4: zero timescale")
+    width = height = 0
+    trak = _bmff_find(payload, moov[0], moov[1], b"trak")
+    if trak is not None:
+        tkhd = _bmff_find(payload, trak[0], trak[1], b"tkhd")
+        if tkhd is not None:
+            t = tkhd[0] + (88 if payload[tkhd[0]] == 1 else 76)
+            if t + 8 <= tkhd[1]:
+                width = int.from_bytes(payload[t : t + 4], "big") >> 16
+                height = int.from_bytes(payload[t + 4 : t + 8], "big") >> 16
+    return timescale, duration, duration * 1000 // timescale, width, height
+
+
 FRAME_STRIDE = 4
 
 
-def sample_media_frames_df(spark, docs):
+def media_frames_from(payloads):
     """Frame-sample + resize plumbing for video-like payloads: every
     ``FRAME_STRIDE``-th frame of each media span, with the resize target
     (half the decoded dims, capped at 64) computed per frame.
 
-    The decode is the same deterministic stub (frame count and frame
-    digests derive from the payload md5) — the Spark-side shape is the
-    real thing: narrow projection → ``mapInPandas`` (Arrow batches,
+    MP4/ISO-BMFF payloads drive the sampler from REAL container metadata
+    (tkhd dims, one frame per second of mvhd duration); other payloads
+    use the deterministic stub (frame count and frame digests derive
+    from the payload md5). The Spark-side shape is the real thing either
+    way: narrow projection → ``mapInPandas`` (Arrow batches,
     per-partition, no shuffle), one output row per sampled frame.
     Output: (doc_id, media_ref, n_frames, frame_idx, frame_md5,
     resized_w, resized_h).
     """
     import pandas as pd
 
-    src = media_payloads_df(spark, docs)
     schema = (
         "doc_id string, media_ref string, n_frames int, frame_idx int, "
         "frame_md5 string, resized_w int, resized_h int"
@@ -345,8 +407,16 @@ def sample_media_frames_df(spark, docs):
             for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
                 payload = bytes(payload)
                 digest = hashlib.md5(payload).digest()
-                w, h = _decode_image_stub(digest)
-                n_frames = 8 + digest[2] % 8
+                if len(payload) >= 12 and payload[4:8] == b"ftyp":
+                    # REAL container metadata: dims from tkhd, one sampled
+                    # frame per second of mvhd duration (bounded)
+                    _, _, dur_ms, w, h = try_real_video_probe(payload)
+                    if w == 0 or h == 0:
+                        w, h = _decode_image_stub(digest)
+                    n_frames = max(1, min(64, int(dur_ms // 1000)))
+                else:
+                    w, h = _decode_image_stub(digest)
+                    n_frames = 8 + digest[2] % 8
                 for idx in range(0, n_frames, FRAME_STRIDE):
                     out["doc_id"].append(doc_id)
                     out["media_ref"].append(ref)
@@ -362,7 +432,13 @@ def sample_media_frames_df(spark, docs):
                  "resized_w": "int32", "resized_h": "int32"}
             )
 
-    return src.mapInPandas(sample, schema)
+    return payloads.mapInPandas(sample, schema)
+
+
+def sample_media_frames_df(spark, docs):
+    """Frame sampling over the doc table's media spans (see
+    :func:`media_frames_from` for the batch shape and decode paths)."""
+    return media_frames_from(media_payloads_df(spark, docs))
 
 
 def sql_media_frames(docs_sql: str) -> str:

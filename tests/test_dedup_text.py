@@ -504,6 +504,104 @@ def test_audio_probe_through_mapinpandas_and_oracle(spark):
     assert sp.astype(str).equals(du.astype(str))
 
 
+def _make_mp4(w: int, h: int, duration_s: int, timescale: int = 600) -> bytes:
+    """Minimal ISO-BMFF tree: ftyp, a free box the walker must skip,
+    moov(mvhd v0 + trak(tkhd v0))."""
+    import struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration_s * timescale) + bytes(80),
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + bytes(72) + struct.pack(">II", w << 16, h << 16),
+    )
+    return (
+        box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + box(b"free", b"\x00" * 12)
+        + box(b"moov", mvhd + box(b"trak", tkhd))
+    )
+
+
+def test_mp4_video_probe_direct():
+    import pytest
+
+    from serbian_osm_lint_spark.operators import media
+
+    ts, dur, dur_ms, w, h = media.try_real_video_probe(_make_mp4(1280, 720, 7))
+    assert (ts, dur, dur_ms, w, h) == (600, 4200, 7000, 1280, 720)
+    with pytest.raises(ValueError):
+        media.try_real_video_probe(
+            b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00"
+            + b"\x00\x00\x00\x10moov\x00\x00\x00\x08free"
+        )  # moov without mvhd
+    with pytest.raises(NotImplementedError):
+        media.try_real_video_probe(b"\x1aE\xdf\xa3 webm-ish payload")
+
+
+def test_mp4_frame_sampling_through_mapinpandas(spark):
+    """MP4 payloads drive the frame sampler from REAL container metadata:
+    tkhd dims, one frame per second of mvhd duration."""
+    from serbian_osm_lint_spark.operators import media
+
+    mp4 = _make_mp4(640, 360, 9)
+    df = spark.createDataFrame(
+        [("d1", "vid/real.mp4", bytearray(mp4)), ("d2", "vid/fake", bytearray(b"vid/fake"))],
+        "doc_id string, media_ref string, payload binary",
+    )
+    rows = media.media_frames_from(df).collect()
+    real = [r for r in rows if r.doc_id == "d1"]
+    assert all(r.n_frames == 9 for r in real)
+    assert [r.frame_idx for r in real] == [0, 4, 8]
+    assert all((r.resized_w, r.resized_h) == (64, 64) for r in real)  # 640//2,360//2 capped
+    fake = [r for r in rows if r.doc_id == "d2"]
+    assert 8 <= fake[0].n_frames < 16  # stub path unchanged
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 65535),
+        h=st.integers(1, 65535),
+        rate=st.sampled_from((8000, 22050, 44100, 96000)),
+        ch=st.integers(1, 8),
+        bits=st.sampled_from((8, 16, 24, 32)),
+        ns=st.integers(0, 10_000),
+        dur=st.integers(1, 1_000),  # dur * ts must fit mvhd v0's uint32
+        ts=st.integers(1, 100_000),
+    )
+    def test_header_parsers_roundtrip_property(w, h, rate, ch, bits, ns, dur, ts):
+        """Synthesize → parse is the identity for every supported
+        container header (PNG/JPEG/GIF dims, WAV fmt+data, MP4 mvhd+tkhd)."""
+        from serbian_osm_lint_spark.operators import media
+
+        small_w, small_h = 1 + w % 4096, 1 + h % 4096  # keep PNG payload tiny
+        assert media.try_real_decode(_make_png(small_w, 1)) == (small_w, 1)
+        assert media.try_real_decode(_make_jpeg(w, h)) == (w, h)
+        assert media.try_real_decode(_make_gif(w % 65536 or 1, h % 65536 or 1)) == (
+            w % 65536 or 1,
+            h % 65536 or 1,
+        )
+        got = media.try_real_audio_probe(_make_wav(rate, ch, bits, ns))
+        assert got == (rate, ch, bits, ns)
+        vts, vdur, vms, vw, vh = media.try_real_video_probe(
+            _make_mp4(small_w, small_h, dur, ts)
+        )
+        assert (vts, vdur, vw, vh) == (ts, dur * ts, small_w, small_h)
+        assert vms == dur * ts * 1000 // ts
+
+except ImportError:  # pragma: no cover - hypothesis is baked into this env
+    pass
+
+
 def test_jpeg_gif_real_decode_through_mapinpandas(spark):
     """The real-decode seam covers all three raster families through the
     full mapInPandas path: synthesized JPEG/GIF dims come from their
