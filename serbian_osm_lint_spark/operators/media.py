@@ -148,24 +148,46 @@ def media_payloads_df(spark, docs):
     ).withColumn("payload", F.encode(F.col("media_ref"), "utf-8"))
 
 
-def media_features_from(payloads):
+#: quarantine-mode schema: dims are nullable and a decode_error column
+#: carries the per-row failure, so one corrupt payload cannot kill a
+#: 1000-executor job (route ``decode_error IS NOT NULL`` to a side table).
+MEDIA_FEATURES_QUARANTINE_SCHEMA = MEDIA_FEATURES_SCHEMA + ", decode_error string"
+
+
+def media_features_from(payloads, on_error: str = "raise"):
     """mapInPandas feature extraction over a ``(doc_id, media_ref,
-    payload)`` frame: real decode for recognized formats (PNG header
-    parse), decode-stub otherwise, + md5-derived feature vector per
-    media span. Arrow-batched; the per-payload loop runs inside the
+    payload)`` frame: real decode for recognized formats (PNG/JPEG/GIF
+    header parse), decode-stub otherwise, + md5-derived feature vector
+    per media span. Arrow-batched; the per-payload loop runs inside the
     batch function (the real-decode analogue), never at the Spark row
-    boundary."""
+    boundary.
+
+    ``on_error``: ``"raise"`` (default — exact oracle-parity schema)
+    fails the task on a corrupt payload; ``"quarantine"`` emits the row
+    with NULL dims and the error message in ``decode_error`` instead —
+    the 100 TB posture, where a single bad blob must cost one row, not
+    the job."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
+    quarantine = on_error == "quarantine"
 
     def extract(batches):
         for pdf in batches:
             n = len(pdf)
-            widths = np.empty(n, dtype=np.int32)
-            heights = np.empty(n, dtype=np.int32)
+            widths = np.empty(n, dtype=object if quarantine else np.int32)
+            heights = np.empty(n, dtype=object if quarantine else np.int32)
+            errors = np.full(n, None, dtype=object)
             feats = np.empty((n, FEATURE_DIM), dtype=np.float64)
             for i, payload in enumerate(pdf["payload"]):
                 payload = bytes(payload)
                 digest = hashlib.md5(payload).digest()
-                widths[i], heights[i] = _decode_dims(payload, digest)
+                try:
+                    widths[i], heights[i] = _decode_dims(payload, digest)
+                except (ValueError, NotImplementedError) as exc:
+                    if not quarantine:
+                        raise
+                    widths[i] = heights[i] = None
+                    errors[i] = f"{type(exc).__name__}: {exc}"
                 feats[i] = np.frombuffer(digest[:FEATURE_DIM], dtype=np.uint8) / 255.0
             out = {
                 "doc_id": pdf["doc_id"],
@@ -176,9 +198,12 @@ def media_features_from(payloads):
             }
             for j in range(FEATURE_DIM):
                 out[f"feature_{j}"] = np.round(feats[:, j], 6)
+            if quarantine:
+                out["decode_error"] = errors
             yield pd.DataFrame(out)
 
-    return payloads.mapInPandas(extract, MEDIA_FEATURES_SCHEMA)
+    schema = MEDIA_FEATURES_QUARANTINE_SCHEMA if quarantine else MEDIA_FEATURES_SCHEMA
+    return payloads.mapInPandas(extract, schema)
 
 
 def extract_media_features_df(spark, docs, batch_hint: int = 1024):

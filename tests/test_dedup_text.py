@@ -602,6 +602,30 @@ except ImportError:  # pragma: no cover - hypothesis is baked into this env
     pass
 
 
+def test_media_decode_quarantine_mode(spark):
+    """100 TB posture: a corrupt payload costs one quarantined row (NULL
+    dims + decode_error), never the job; strict mode still raises."""
+    from serbian_osm_lint_spark.operators import media
+
+    corrupt = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + b"XXXX" + b"\x00" * 8
+    df = spark.createDataFrame(
+        [("bad", "img/corrupt.png", bytearray(corrupt)),
+         ("ok", "img/good.png", bytearray(_make_png(12, 34)))],
+        "doc_id string, media_ref string, payload binary",
+    )
+    rows = {r.doc_id: r for r in media.media_features_from(df, on_error="quarantine").collect()}
+    assert rows["bad"].width is None and rows["bad"].height is None
+    assert "IHDR" in rows["bad"].decode_error
+    assert rows["bad"].feature_0 is not None  # md5 features survive
+    assert (rows["ok"].width, rows["ok"].height) == (12, 34)
+    assert rows["ok"].decode_error is None
+
+    with pytest.raises(Exception, match="corrupt PNG"):  # strict default: task fails
+        media.media_features_from(df).collect()
+    with pytest.raises(ValueError):
+        media.media_features_from(df, on_error="ignore")
+
+
 def test_jpeg_gif_real_decode_through_mapinpandas(spark):
     """The real-decode seam covers all three raster families through the
     full mapInPandas path: synthesized JPEG/GIF dims come from their
