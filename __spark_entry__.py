@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_encode": lambda s, d: spatial.cell_encode_df(s, _docs(s, d)),
         "knn_dup_names": lambda s, d: spatial.knn_dup_names_df(s, _docs(s, d)),
         "knn_dup_names_capped": lambda s, d: spatial.knn_dup_names_capped_df(s, _docs(s, d)),
+        "translit_dup_names": lambda s, d: spatial.translit_dup_names_df(s, _docs(s, d)),
         "tile_assignment": lambda s, d: spatial.tile_assignment_df(s, _docs(s, d)),
         "cell_counts_salted": lambda s, d: spatial.cell_counts_salted_df(s, _docs(s, d)),
         # training-data pipeline: text analysis / dedup / similarity / media
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_encode": spatial.sql_cell_encode(d),
         "knn_dup_names": spatial.sql_knn_dup_names(d),
         "knn_dup_names_capped": spatial.sql_knn_dup_names_capped(d),
+        "translit_dup_names": spatial.sql_translit_dup_names(d),
         "tile_assignment": spatial.sql_tile_assignment(d),
         "cell_counts_salted": spatial.sql_cell_counts(d),
         "text_profile": _sql_text_profile(),

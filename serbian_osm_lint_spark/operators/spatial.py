@@ -252,6 +252,95 @@ def knn_dup_names_df(spark, docs, k: int = 5, zoom: int = CELL_ZOOM):
     )
 
 
+def translit_dup_names_df(spark, docs, k: int = 5, zoom: int = CELL_ZOOM):
+    """Cross-script duplicate names (J8 × F1): pairs whose names are the
+    SAME place rendered in different scripts — equal after
+    cyr2lat+lower normalization but raw-unequal — within the 3×3
+    neighbor cell ring, ranked by distance (top-k per left entity).
+
+    The lint story: the same village entered once as "Љиг" and once as
+    "Ljig" is the dedup case plain name-equality kNN (J8) cannot see;
+    the transliteration algebra (F1, reference ``src/cyrillic...``
+    parity) turns script equivalence into an equi-join key. Plan shape
+    is identical to :func:`knn_dup_names_df` — (cell_id, norm_name) is
+    the one shuffle key, so the 100 TB behavior is the same
+    well-distributed band join. Output: (doc_id_a, doc_id_b, name_a,
+    name_b, norm_name, dist_km, rank)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.translit import cyr2lat_col
+
+    ent = with_flat_entity(docs)
+    pts = ent.select(
+        "doc_id",
+        F.col("a_name").alias("name"),
+        F.lower(cyr2lat_col(F.col("a_name"))).alias("norm_name"),
+        "lat",
+        "lon",
+        tile_x_col(F.col("lon"), zoom).alias("cx"),
+        tile_y_col(F.col("lat"), zoom).alias("cy"),
+    ).filter(F.coalesce(F.col("name"), F.lit("")) != "")
+    left = pts.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("name").alias("name_a"),
+        "norm_name",
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(geo.neighbor_cells_col(F.col("cx"), F.col("cy"), zoom)).alias("cell_id"),
+    )
+    right = pts.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("name").alias("name_b"),
+        "norm_name",
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        (F.shiftleft(F.col("cx"), zoom) + F.col("cy")).alias("cell_id"),
+    )
+    pairs = left.join(right, ["cell_id", "norm_name"]).filter(
+        (F.col("doc_id_a") < F.col("doc_id_b")) & (F.col("name_a") != F.col("name_b"))
+    )
+    dist = F.round(
+        haversine_km_col(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")), 6
+    )
+    w = Window.partitionBy("doc_id_a").orderBy(F.col("dist_km"), F.col("doc_id_b"))
+    return (
+        pairs.select(
+            "doc_id_a", "doc_id_b", "name_a", "name_b", "norm_name", dist.alias("dist_km")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sql_translit_dup_names(docs_sql: str, k: int = 5, zoom: int = CELL_ZOOM) -> str:
+    """DuckDB twin of :func:`translit_dup_names_df` (independent
+    REPLACE-chain transliteration + ring join)."""
+    from ..functions.translit import sql_cyr2lat
+
+    dist = sql_haversine_km("a.lat", "a.lon", "b.lat", "b.lon")
+    return f"""
+    WITH pts AS (
+      SELECT doc_id, name, lower({sql_cyr2lat('name')}) AS norm_name, lat, lon,
+             {sql_tile_x('lon', zoom)} AS cx, {sql_tile_y('lat', zoom)} AS cy
+      FROM ({docs_sql}) WHERE coalesce(name, '') <> ''
+    ), pairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             a.name AS name_a, b.name AS name_b, a.norm_name,
+             round({dist}, 6) AS dist_km
+      FROM pts a JOIN pts b
+        ON a.norm_name = b.norm_name AND a.doc_id < b.doc_id
+       AND a.name <> b.name
+       AND abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+    )
+    SELECT doc_id_a, doc_id_b, name_a, name_b, norm_name, dist_km,
+           CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id_a ORDER BY dist_km, doc_id_b) AS rank
+      FROM pairs
+    ) WHERE rank <= {k}
+    """
+
+
 #: per-(cell, name) candidate cap for the skew-bounded kNN variant.
 KNN_CAP = 64
 

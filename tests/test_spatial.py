@@ -185,3 +185,55 @@ def test_knn_capped_bounds_hot_cell_pair_space(spark):
                .withColumnRenamed("count", "n").collect()}
     assert len(per_doc) == n
     assert all(cap - 1 <= c <= cap for c in per_doc.values())
+
+
+def test_translit_dup_names_cross_script(spark):
+    """J8 × F1: a place entered once in Cyrillic and once in Latin is a
+    duplicate pair under translit normalization; same-script duplicates
+    and different places are not."""
+    rows = [
+        ("a1", {"name": "Љиг"}, (44.80, 20.40)),
+        ("a2", {"name": "Ljig"}, (44.801, 20.401)),        # cross-script dup of a1
+        ("a3", {"name": "ljig"}, (44.802, 20.402)),        # case-only rendering, still a dup
+        ("b1", {"name": "Чачак"}, (44.803, 20.403)),
+        ("b2", {"name": "Чачак"}, (44.804, 20.404)),       # same-script: knn's job, not ours
+        ("c1", {"name": "Ниш"}, (43.30, 21.90)),           # far away, no partner
+        ("d1", {"name": "Београд"}, (44.805, 20.405)),     # different place entirely
+    ]
+    docs = make_docs(spark, rows)
+    got = {
+        (r.doc_id_a, r.doc_id_b): (r.name_a, r.name_b, r.norm_name)
+        for r in spatial.translit_dup_names_df(spark, docs).collect()
+    }
+    assert ("a1", "a2") in got and got[("a1", "a2")] == ("Љиг", "Ljig", "ljig")
+    assert ("a1", "a3") in got and ("a2", "a3") in got
+    assert all("b" not in a and "b" not in b for a, b in got)  # same-script excluded
+    assert all("c1" not in p and "d1" not in p for p in got)
+
+
+def test_translit_dup_names_oracle_parity(spark):
+    """Cross-engine parity at sf0.001 (the full suite gate runs sf0.01)."""
+    import duckdb
+
+    from serbian_osm_lint_spark import synth
+    from serbian_osm_lint_spark.sources import catalog
+
+    sp = (
+        spatial.translit_dup_names_df(spark, catalog.docs_table(spark, SF_SMALL))
+        .toPandas()
+        .sort_values(["doc_id_a", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(sp) > 0, "synthetic corpus must contain cross-script pairs"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{SF_SMALL}/customer.parquet'")
+    du = (
+        con.execute(spatial.sql_translit_dup_names(synth.sql_scalar_tags()))
+        .df()
+        .sort_values(["doc_id_a", "rank"])
+        .reset_index(drop=True)
+    )
+    con.close()
+    assert sorted(sp.columns) == sorted(du.columns)
+    cols = sorted(sp.columns)
+    assert sp[cols].astype(str).equals(du[cols].astype(str))
