@@ -78,3 +78,39 @@ def stream_dedup_exact(spark, texts_path: str, out_dir: str, checkpoint_dir: str
     )
     stream.awaitTermination()
     return len(batches)
+
+
+def stream_media_features(spark, payloads_path: str, out_dir: str, checkpoint_dir: str):
+    """Streaming modality stage: the SAME Arrow ``mapInPandas`` feature
+    extractor (:func:`..operators.media.media_features_from`) applied to
+    an incrementally arriving payload table — mapInPandas composes with
+    streaming sources unchanged, so the batch and streaming faces share
+    one implementation. Returns batches executed this invocation.
+
+    At cluster scale this is the ingest-side modality topology: media
+    blobs land in an Iceberg table, the stream tails its snapshots, and
+    the shuffle-free extractor keeps up with arrival rate by fan-out
+    alone (scaling row in BENCH/BASELINE.md)."""
+    from ..operators.media import media_features_from
+
+    schema = "doc_id string, media_ref string, payload binary"
+    batches = []
+
+    def process_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(os.path.join(out_dir, "features"))
+        batches.append(batch_id)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # several micro-batches per pass
+        .parquet(payloads_path)
+    )
+    stream = (
+        media_features_from(src)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()
+    return len(batches)

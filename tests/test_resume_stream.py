@@ -274,3 +274,45 @@ def test_hash_fallback_rejects_changed_bucket_domain(spark, out_dir):
         resume.run_resumable(spark, docs, ident, out_dir, n_buckets=2)
     # same domain re-run stays a no-op
     assert resume.run_resumable(spark, docs, ident, out_dir, n_buckets=4) == 0
+
+
+def test_streaming_media_features_equals_batch(spark, tmp_path):
+    """The modality stage streams: the same mapInPandas extractor over an
+    incrementally arriving payload table (real PNG + stub payloads mixed)
+    produces exactly the batch result, and a checkpoint re-run adds
+    nothing."""
+    import sys
+
+    from serbian_osm_lint_spark.operators import media
+    from serbian_osm_lint_spark.streaming import stream
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_dedup_text import _make_png
+
+    rows = [
+        ("d1", "img/a.png", bytearray(_make_png(40, 30))),
+        ("d2", "img/b", bytearray(b"img/b")),
+        ("d3", "img/c.png", bytearray(_make_png(7, 9))),
+        ("d4", "img/d", bytearray(b"img/d")),
+    ]
+    payloads = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, payload binary"
+    )
+    src = str(tmp_path / "payloads")
+    # two files => at least two micro-batches with maxFilesPerTrigger=1
+    payloads.filter("doc_id <= 'd2'").write.parquet(src)
+    payloads.filter("doc_id > 'd2'").write.mode("append").parquet(src)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    n1 = stream.stream_media_features(spark, src, out, ckpt)
+    assert n1 >= 2
+
+    streamed = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/features").collect()
+    )
+    batch = sorted(tuple(r) for r in media.media_features_from(payloads).collect())
+    assert streamed == batch
+    widths = {r[0]: (r[3], r[4]) for r in streamed}
+    assert widths["d1"] == (40, 30) and widths["d3"] == (7, 9)  # real decode streamed
+
+    assert stream.stream_media_features(spark, src, out, ckpt) == 0  # idempotent
