@@ -120,3 +120,88 @@ def stream_events_windowed(spark, events_path: str, out_dir: str, checkpoint_dir
         .start()
     )
     q.awaitTermination()
+
+
+def asof_join_df(spark, sf_dir: str, left_type: str = "click", right_type: str = "view"):
+    """As-of join — the canonical operator Spark's DataFrame API lacks:
+    each ``left_type`` event enriched with the MOST RECENT ``right_type``
+    event of the same user at-or-before its timestamp (NULLs when none).
+
+    Spark-first shape: instead of a range join (which Catalyst executes
+    as a per-user cross product — quadratic in events/user), both sides
+    are UNIONED and merged by one window pass: shuffle on user_id, sort
+    by (ts, side, event_id) with the right side first at equal ts
+    (inclusive as-of), then ``last(value, ignorenulls=True)`` over the
+    unbounded-preceding frame carries the latest right-event attributes
+    forward onto every left row. One shuffle, linear per-user work — the
+    same merge an ASOF-JOIN-native engine performs. The right side is
+    first deduped to one row per (user_id, ts) (max event_id wins) so
+    both engines are deterministic under timestamp ties; the DuckDB twin
+    is the engine-native ``ASOF LEFT JOIN``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wdup = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    right = (
+        ev.filter(F.col("event_type") == right_type)
+        .withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+    )
+    left = ev.filter(F.col("event_type") == left_type).select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        "value",
+        F.lit(None).cast("long").alias("r_event_id"),
+        F.lit(None).cast("timestamp").alias("r_ts"),
+        F.lit(None).cast("double").alias("r_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", F.coalesce("r_event_id", "event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).select(
+        "user_id",
+        "ts",
+        "side",
+        "event_id",
+        "value",
+        F.last("r_event_id", ignorenulls=True).over(w).alias("asof_event_id"),
+        F.last("r_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        F.last("r_value", ignorenulls=True).over(w).alias("asof_value"),
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id", "user_id", "ts", "value", "asof_event_id", "asof_ts", "asof_value"
+    )
+
+
+def sql_asof_join(left_type: str = "click", right_type: str = "view") -> str:
+    """DuckDB twin of :func:`asof_join_df`: the engine-native ASOF LEFT
+    JOIN over the identically-deduped right side — a fully independent
+    implementation of the same spec."""
+    return f"""
+    WITH r AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = '{right_type}'
+      ) WHERE rn = 1
+    ),
+    l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = '{left_type}')
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.event_id AS asof_event_id, r.ts AS asof_ts, r.value AS asof_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """

@@ -54,3 +54,67 @@ def test_html_report_sink(spark, tmp_path):
     assert "checks.NameMissingCheck" in html
     assert html.count('class="err"') == 50  # bounded error listing
     assert os.path.getsize(path) < 200_000  # sink collects aggregates, not the table
+
+
+def test_asof_join_semantics(spark, tmp_path):
+    """Each click is enriched with the latest view at-or-before it, per
+    user: equal-ts view matches (inclusive), later views don't, users
+    without a prior view get NULLs, and timestamp ties on the right are
+    broken deterministically (max event_id)."""
+    from serbian_osm_lint_spark.operators import events
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value)
+        (1, "2024-01-01 10:00:00", 1, "view", 10.0),
+        (2, "2024-01-01 10:05:00", 1, "click", 1.0),   # -> view 1
+        (3, "2024-01-01 10:06:00", 1, "view", 20.0),
+        (4, "2024-01-01 10:06:00", 1, "view", 30.0),   # tie: id 4 wins
+        (5, "2024-01-01 10:06:00", 1, "click", 2.0),   # equal-ts -> view 4
+        (6, "2024-01-01 10:07:00", 1, "click", 3.0),   # -> view 4
+        (7, "2024-01-01 09:00:00", 2, "click", 4.0),   # no prior view -> NULLs
+        (8, "2024-01-01 09:30:00", 2, "view", 40.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, u, e, v, "{}") for i, t, u, e, v in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type", "value", "props")
+    path = str(tmp_path / "events.parquet")
+    df.write.parquet(path)
+
+    got = {
+        r.event_id: (r.asof_event_id, r.asof_value)
+        for r in events.asof_join_df(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        2: (1, 10.0),
+        5: (4, 30.0),
+        6: (4, 30.0),
+        7: (None, None),
+    }
+
+
+def test_asof_join_oracle_parity(spark):
+    """Union+window merge ≡ DuckDB's native ASOF LEFT JOIN at sf0.001."""
+    import duckdb
+
+    from serbian_osm_lint_spark.operators import events
+
+    sp = (
+        events.asof_join_df(spark, SF_SMALL)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(sp) > 0 and sp["asof_event_id"].notna().any()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'")
+    du = (
+        con.execute(events.sql_asof_join())
+        .df()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con.close()
+    cols = sorted(sp.columns)
+    assert cols == sorted(du.columns)
+    assert sp[cols].astype(str).equals(du[cols].astype(str))
