@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": lambda s, d: events.events_windowed_df(s, d),
         "sessionize": lambda s, d: events.sessionize_df(s, d),
         "asof_join": lambda s, d: events.asof_join_df(s, d),
+        "range_join": lambda s, d: events.range_join_df(s, d),
         # J3 disambiguation walk + S8 proposed fixes
         "wiki_guess": lambda s, d: wikiwalk.wiki_guess_df(s, _docs(s, d)),
         "proposed_fixes": lambda s, d: fixes.proposed_fixes_df(
@@ -196,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": events.sql_events_windowed(),
         "sessionize": events.sql_sessionize(),
         "asof_join": events.sql_asof_join(),
+        "range_join": events.sql_range_join(),
         "wiki_guess": wikiwalk.sql_wiki_guess(d),
         "proposed_fixes": fixes.sql_proposed_fixes(d, synth.sql_wiki_pages()),
         "parse_sophox_rows": osm_parsers.sql_parse_sophox_rows(),

@@ -205,3 +205,76 @@ def sql_asof_join(left_type: str = "click", right_type: str = "view") -> str:
            r.event_id AS asof_event_id, r.ts AS asof_ts, r.value AS asof_value
     FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
     """
+
+
+def range_join_df(spark, sf_dir: str, delta_s: int = 300,
+                  left_type: str = "click", right_type: str = "error"):
+    """Time-range join — the second operator family Spark's optimizer
+    punts on: all (``left_type``, ``right_type``) event pairs of the same
+    user within ``delta_s`` seconds of each other.
+
+    Spark-first shape: a raw ``|ts_l - ts_r| <= delta`` theta join plans
+    as a per-user cross product (BroadcastNestedLoop / quadratic). The
+    same trick as the spatial neighbor ring (J8) applies in time: bin
+    both sides at ``delta_s`` granularity, explode the LEFT side into
+    its 3 adjacent bins, equi-join on (user_id, bin) — every qualifying
+    pair shares one of those bins exactly once, so no distinct is
+    needed — then the exact range predicate filters inside the bin pair.
+    One well-distributed shuffle; pair work bounded by events/user/Δ.
+    Output: (event_id_l, event_id_r, user_id, dt_s) with dt_s =
+    seconds from left to right (signed, exact microseconds rounded to
+    6)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ts arrives TIMESTAMP_NTZ — hop via TIMESTAMP (session TZ pinned
+    # UTC, value-preserving) for unix_micros, as sessionize_df does.
+    usec = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    left = ev.filter(F.col("event_type") == left_type).select(
+        F.col("event_id").alias("event_id_l"),
+        "user_id",
+        usec("ts").alias("us_l"),
+        F.explode(
+            F.array(
+                F.floor(usec("ts") / (delta_s * 1_000_000)) - 1,
+                F.floor(usec("ts") / (delta_s * 1_000_000)),
+                F.floor(usec("ts") / (delta_s * 1_000_000)) + 1,
+            )
+        ).alias("bin"),
+    )
+    right = ev.filter(F.col("event_type") == right_type).select(
+        F.col("event_id").alias("event_id_r"),
+        "user_id",
+        usec("ts").alias("us_r"),
+        F.floor(usec("ts") / (delta_s * 1_000_000)).alias("bin"),
+    )
+    pairs = left.join(right, ["user_id", "bin"]).filter(
+        F.abs(F.col("us_r") - F.col("us_l")) <= delta_s * 1_000_000
+    )
+    return pairs.select(
+        "event_id_l",
+        "event_id_r",
+        "user_id",
+        F.round((F.col("us_r") - F.col("us_l")) / 1_000_000.0, 6).alias("dt_s"),
+    )
+
+
+def sql_range_join(delta_s: int = 300, left_type: str = "click",
+                   right_type: str = "error") -> str:
+    """DuckDB twin of :func:`range_join_df`: the straight range-predicate
+    join (DuckDB's IEJoin executes it without a cross product — an
+    independent dataflow arriving at the same pairs)."""
+    return f"""
+    WITH l AS (
+      SELECT event_id AS event_id_l, user_id, epoch_us(ts) AS us_l
+      FROM events WHERE event_type = '{left_type}'
+    ),
+    r AS (
+      SELECT event_id AS event_id_r, user_id, epoch_us(ts) AS us_r
+      FROM events WHERE event_type = '{right_type}'
+    )
+    SELECT l.event_id_l, r.event_id_r, l.user_id,
+           round((r.us_r - l.us_l) / 1000000.0, 6) AS dt_s
+    FROM l JOIN r ON l.user_id = r.user_id
+     AND abs(r.us_r - l.us_l) <= {delta_s} * 1000000
+    """

@@ -118,3 +118,26 @@ def test_asof_join_oracle_parity(spark):
     cols = sorted(sp.columns)
     assert cols == sorted(du.columns)
     assert sp[cols].astype(str).equals(du[cols].astype(str))
+
+
+def test_range_join_semantics_and_parity(spark):
+    """Binned equi-join + exact filter finds every |dt| <= delta pair
+    exactly once (incl. cross-bin pairs), matching the straight range
+    predicate in DuckDB at sf0.001."""
+    import duckdb
+
+    from serbian_osm_lint_spark.operators import events
+
+    sp = events.range_join_df(spark, SF_SMALL).toPandas()
+    assert len(sp) > 0
+    assert not sp.duplicated(["event_id_l", "event_id_r"]).any()  # no bin double-count
+    assert (sp["dt_s"].abs() <= 300).all()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'")
+    du = con.execute(events.sql_range_join()).df()
+    con.close()
+    cols = sorted(sp.columns)
+    key = ["event_id_l", "event_id_r"]
+    sp = sp[cols].sort_values(key).reset_index(drop=True)
+    du = du[cols].sort_values(key).reset_index(drop=True)
+    assert sp.astype(str).equals(du.astype(str))
