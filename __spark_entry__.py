@@ -44,6 +44,7 @@ def _q_text_profile(spark, sf_dir):
         bpe,
         *ftext.quality_score_cols(F.col("text")),
         ftext.lang_id_col(F.col("text")).alias("lang_guess"),
+        ftext.repetition_cols(F.col("text")),
         ftext.fingerprint_col(F.col("text")).alias("fingerprint"),
     )
 
@@ -55,6 +56,7 @@ def _sql_text_profile():
     return (
         f"SELECT doc_id, {ws} AS n_tokens_ws, {bpe} AS n_tokens_bpe, {qcols}, "
         f"{ftext.sql_lang_id('text')} AS lang_guess, "
+        f"{ftext.sql_repetition('text')} AS rep_3gram_ratio, "
         f"{ftext.sql_fingerprint('text')} AS fingerprint FROM documents"
     )
 

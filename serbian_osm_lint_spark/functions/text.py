@@ -129,3 +129,44 @@ def sql_lang_id(text: str) -> str:
 def sql_fingerprint(text: str) -> str:
     norm = f"lower(trim(regexp_replace({text}, '\\s+', ' ', 'g')))"
     return f"substring(md5({norm}), 1, 16)"
+
+
+def repetition_cols(text_col):
+    """Gopher-style within-document repetition signal: the fraction of
+    duplicate word 3-grams (case-folded), 0.0 when the doc has fewer
+    than 3 tokens. Boilerplate and looping generations score high; all
+    list ops are native Catalyst array expressions (no UDF)."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n3 = F.size(toks) - 2
+    grams = F.when(
+        n3 >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n3, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n = F.size(grams).cast("double")
+    ratio = F.when(
+        n > 0, F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / n, 6)
+    ).otherwise(F.lit(0.0))
+    return ratio.alias("rep_3gram_ratio")
+
+
+def sql_repetition(text: str) -> str:
+    toks = f"regexp_split_to_array(lower(trim({text})), '\\s+')"
+    grams = (
+        f"list_transform(generate_series(1, len({toks}) - 2), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1] || ' ' || {toks}[i + 2])"
+    )
+    return (
+        f"(CASE WHEN len({grams}) > 0 THEN "
+        f"round(1.0 - len(list_distinct({grams})) / CAST(len({grams}) AS DOUBLE), 6) "
+        f"ELSE 0.0 END)"
+    )

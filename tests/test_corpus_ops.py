@@ -48,3 +48,41 @@ def test_corpus_split_deterministic_and_proportional(spark):
     frac_train = sum(1 for s in a.values() if s == "train") / n
     assert 0.7 < frac_train < 0.9
     assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_repetition_ratio(spark):
+    """Duplicate word-3-gram fraction: 0 for unique text and short docs,
+    high for looped boilerplate; cross-engine equal on crafted cases."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark.functions import text as ftext
+
+    cases = [
+        ("unique words only here now",),         # 3 grams, all distinct -> 0
+        ("spam ham spam ham spam ham spam ham",),  # heavy repetition
+        ("two words",),                          # < 3 tokens -> 0
+        ("",),
+        ("Spam HAM spam ham SPAM ham spam ham",),  # case-folded == case above
+    ]
+    df = spark.createDataFrame(cases, "text string")
+    got = [
+        r.rep_3gram_ratio
+        for r in df.select(ftext.repetition_cols(F.col("text"))).collect()
+    ]
+    assert got[0] == 0.0 and got[2] == 0.0 and got[3] == 0.0
+    assert got[1] > 0.5
+    assert got[4] == got[1]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", cases)
+    du = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {ftext.sql_repetition('text')} FROM t"
+        ).fetchall()
+    ]
+    con.close()
+    assert [round(float(x), 6) for x in du] == [round(float(x), 6) for x in got]
