@@ -169,3 +169,39 @@ def test_simhash_near_dups_single_banded_equijoin(spark):
     )
     # the join is keyed on BOTH band and bucket (a two-key equi-join)
     assert "Left keys [2]: [band" in plan
+
+
+def test_asof_join_is_single_window_pass(spark):
+    """The as-of join must plan as union + ONE window over user_id —
+    no join operator at all, no cartesian fallback."""
+    from serbian_osm_lint_spark.operators import events
+
+    plan = _plan(events.asof_join_df(spark, SF_SMALL))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" not in plan  # union+window, not a join dataflow
+    assert plan.count("Window") >= 1 and "Union" in plan
+
+
+def test_range_join_is_binned_equi_join(spark):
+    """The time-range join must plan as a hash-key equi-join on
+    (user_id, bin) — never the per-user cross product Catalyst produces
+    for a raw |dt| <= delta theta join."""
+    from serbian_osm_lint_spark.operators import events
+
+    plan = _plan(events.range_join_df(spark, SF_SMALL))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_translit_dup_is_equi_join(spark):
+    from serbian_osm_lint_spark.operators import spatial
+    from serbian_osm_lint_spark.sources import catalog
+
+    docs = catalog.docs_table(spark, SF_SMALL)
+    plan = _plan(spatial.translit_dup_names_df(spark, docs))
+    assert "NestedLoop" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
