@@ -32,6 +32,9 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("int64")
         elif str(df[c].dtype) == "bool":
             df[c] = df[c].astype(bool)
+        elif str(df[c].dtype).startswith("datetime64"):
+            # spark→ns vs duckdb→us: same instants, different pandas unit
+            df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
