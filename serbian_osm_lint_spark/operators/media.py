@@ -265,13 +265,23 @@ def try_real_audio_probe(payload: bytes):
     return rate, channels, bits, data_size // (channels * (bits // 8))
 
 
-def audio_probe_from(payloads):
+AUDIO_PROBE_QUARANTINE_SCHEMA = AUDIO_PROBE_SCHEMA + ", decode_error string"
+
+
+def audio_probe_from(payloads, on_error: str = "raise"):
     """mapInPandas audio probe over ``(doc_id, media_ref, payload)``:
     REAL RIFF/WAVE header walk for WAV payloads, deterministic md5 stub
     otherwise (the synthetic corpus payloads are utf-8 refs, so the
     oracle-gated rows stay on the stub path). ``duration_us`` is exact
     integer microseconds — no float column, so the DuckDB twin replays
-    it with pure integer arithmetic."""
+    it with pure integer arithmetic.
+
+    ``on_error='quarantine'`` mirrors :func:`media_features_from`: a
+    corrupt WAV costs one NULL-field row with ``decode_error`` set, not
+    the job."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
+    quarantine = on_error == "quarantine"
 
     def probe(batches):
         for pdf in batches:
@@ -281,25 +291,39 @@ def audio_probe_from(payloads):
                 "media_ref": pdf["media_ref"],
                 "byte_len": pdf["payload"].map(len).astype("int32"),
             }
-            rates = np.empty(n, dtype=np.int32)
-            chans = np.empty(n, dtype=np.int32)
-            bits = np.empty(n, dtype=np.int32)
-            samples = np.empty(n, dtype=np.int64)
+            dt = object if quarantine else np.int32
+            rates = np.empty(n, dtype=dt)
+            chans = np.empty(n, dtype=dt)
+            bits = np.empty(n, dtype=dt)
+            samples = np.empty(n, dtype=object if quarantine else np.int64)
+            durs = np.empty(n, dtype=object if quarantine else np.int64)
+            errors = np.full(n, None, dtype=object)
             for i, payload in enumerate(pdf["payload"]):
                 payload = bytes(payload)
-                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-                    rates[i], chans[i], bits[i], samples[i] = try_real_audio_probe(payload)
-                else:
-                    digest = hashlib.md5(payload).digest()
-                    rates[i], chans[i], bits[i], samples[i] = _audio_probe_stub(digest)
+                try:
+                    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                        rates[i], chans[i], bits[i], samples[i] = try_real_audio_probe(
+                            payload
+                        )
+                    else:
+                        digest = hashlib.md5(payload).digest()
+                        rates[i], chans[i], bits[i], samples[i] = _audio_probe_stub(digest)
+                    durs[i] = int(samples[i]) * 1_000_000 // int(rates[i])
+                except (ValueError, NotImplementedError) as exc:
+                    if not quarantine:
+                        raise
+                    rates[i] = chans[i] = bits[i] = samples[i] = durs[i] = None
+                    errors[i] = f"{type(exc).__name__}: {exc}"
             out.update(
                 sample_rate=rates, channels=chans, bits_per_sample=bits,
-                n_samples=samples,
-                duration_us=samples * np.int64(1_000_000) // rates,
+                n_samples=samples, duration_us=durs,
             )
+            if quarantine:
+                out["decode_error"] = errors
             yield pd.DataFrame(out)
 
-    return payloads.mapInPandas(probe, AUDIO_PROBE_SCHEMA)
+    schema = AUDIO_PROBE_QUARANTINE_SCHEMA if quarantine else AUDIO_PROBE_SCHEMA
+    return payloads.mapInPandas(probe, schema)
 
 
 def probe_media_audio_df(spark, docs):

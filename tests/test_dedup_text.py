@@ -645,3 +645,21 @@ def test_jpeg_gif_real_decode_through_mapinpandas(spark):
     assert (rows["d1"].width, rows["d1"].height) == (99, 77)
     assert (rows["d2"].width, rows["d2"].height) == (55, 44)
     assert 64 <= rows["d3"].width < 256 and 64 <= rows["d3"].height < 256
+
+
+def test_audio_probe_quarantine_mode(spark):
+    """A corrupt WAV costs one quarantined row, not the job (symmetric
+    with the image path's quarantine mode)."""
+    from serbian_osm_lint_spark.operators import media
+
+    corrupt = b"RIFF\x08\x00\x00\x00WAVE"  # no fmt/data chunks
+    df = spark.createDataFrame(
+        [("bad", "aud/x.wav", bytearray(corrupt)),
+         ("ok", "aud/y.wav", bytearray(_make_wav(8000, 1, 16, 80)))],
+        "doc_id string, media_ref string, payload binary",
+    )
+    rows = {r.doc_id: r for r in media.audio_probe_from(df, on_error="quarantine").collect()}
+    assert rows["bad"].sample_rate is None and "fmt" in rows["bad"].decode_error
+    assert rows["ok"].sample_rate == 8000 and rows["ok"].decode_error is None
+    with pytest.raises(Exception, match="corrupt WAV"):
+        media.audio_probe_from(df).collect()
