@@ -33,10 +33,24 @@ from serbian_osm_lint_spark.operators import (  # noqa: E402
 )
 
 
+# Planted vertical-tab doc (ADVICE r4): Java \s includes \x0B, RE2's does
+# not, so this row only hash-matches because every text split now uses the
+# explicit WS_SPLIT_RE class — the oracle actively exercises the contract.
+_VT_DOC_TEXT = "the quick\x0bbrown fox the quick fox. the of to"
+_SQL_VT_DOC = (
+    "SELECT CAST(-1 AS BIGINT) AS doc_id, "
+    "'the quick' || chr(11) || 'brown fox the quick fox. the of to' AS text"
+)
+
+
 def _q_text_profile(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    vt = spark.range(1).select(
+        F.lit(-1).cast("long").alias("doc_id"), F.lit(_VT_DOC_TEXT).alias("text")
+    )
+    docs = docs.unionByName(vt)
     ws, bpe = ftext.token_count_cols(F.col("text"))
     return docs.select(
         "doc_id",
@@ -57,7 +71,8 @@ def _sql_text_profile():
         f"SELECT doc_id, {ws} AS n_tokens_ws, {bpe} AS n_tokens_bpe, {qcols}, "
         f"{ftext.sql_lang_id('text')} AS lang_guess, "
         f"{ftext.sql_repetition('text')} AS rep_3gram_ratio, "
-        f"{ftext.sql_fingerprint('text')} AS fingerprint FROM documents"
+        f"{ftext.sql_fingerprint('text')} AS fingerprint FROM "
+        f"(SELECT doc_id, text FROM documents UNION ALL {_SQL_VT_DOC})"
     )
 
 

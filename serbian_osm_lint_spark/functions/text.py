@@ -9,8 +9,23 @@ formula, so cross-engine equality is exact (floats rounded to 6).
 
 from __future__ import annotations
 
+#: ASCII-whitespace tokenizer class — the ONE split spec both engines (and
+#: the simhash pandas UDF) use. Java regex, RE2 and Python ``re`` all read
+#: these escapes identically; ``\s``/``str.split()`` would not (Java adds
+#: \x0B, RE2 lacks it, Python splits on all of Unicode). Defined HERE and
+#: re-exported by :mod:`..operators.dedup` so every word split in the repo
+#: shares it (ADVICE r4: the `\s+` splits below diverged on vertical tab).
+WS_SPLIT_RE = r"[ \t\n\r\f\x0B]+"
+
+#: characters of :data:`WS_SPLIT_RE` for embedding in negated classes —
+#: ``\s`` inside a class has the same cross-engine VT divergence.
+_WS_CHARS = r" \t\n\r\f\x0B"
+
 #: BPE-ish tokenization: letter runs | single digits | single punct.
-BPE_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+BPE_REGEX = rf"[A-Za-z]+|[0-9]|[^A-Za-z0-9{_WS_CHARS}]"
+
+#: punctuation = not word (ASCII \w) and not whitespace, both explicit.
+PUNCT_REGEX = rf"[^A-Za-z0-9_{_WS_CHARS}]"
 
 #: tiny stopword lists for the n-gram language heuristic.
 LANG_STOPWORDS = {
@@ -30,7 +45,7 @@ def token_count_cols(text_col):
     """(whitespace token count, BPE-ish token count) columns."""
     from pyspark.sql import functions as F
 
-    ws = F.size(F.split(F.trim(text_col), r"\s+"))
+    ws = F.size(F.split(F.trim(text_col), WS_SPLIT_RE))
     bpe = F.regexp_count(text_col, F.lit(BPE_REGEX))
     return ws.cast("long").alias("n_tokens_ws"), bpe.cast("long").alias("n_tokens_bpe")
 
@@ -41,8 +56,8 @@ def quality_score_cols(text_col):
 
     n_chars = F.length(text_col).cast("double")
     n_alpha = F.regexp_count(text_col, F.lit("[A-Za-z]")).cast("double")
-    n_punct = F.regexp_count(text_col, F.lit(r"[^\w\s]")).cast("double")
-    n_tok = F.size(F.split(F.trim(text_col), r"\s+")).cast("double")
+    n_punct = F.regexp_count(text_col, F.lit(PUNCT_REGEX)).cast("double")
+    n_tok = F.size(F.split(F.trim(text_col), WS_SPLIT_RE)).cast("double")
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     mean_tok_len = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
@@ -82,13 +97,13 @@ def fingerprint_col(text_col):
     """Document fingerprint: md5 of lowercased, whitespace-collapsed text."""
     from pyspark.sql import functions as F
 
-    norm = F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
+    norm = F.lower(F.trim(F.regexp_replace(text_col, WS_SPLIT_RE, " ")))
     return F.substring(F.md5(norm), 1, 16)
 
 
 # -------------------------------------------------------------------- sql
 def sql_token_counts(text: str) -> tuple[str, str]:
-    ws = f"CAST(len(regexp_split_to_array(trim({text}), '\\s+')) AS BIGINT)"
+    ws = f"CAST(len(regexp_split_to_array(trim({text}), '{WS_SPLIT_RE}')) AS BIGINT)"
     bpe = f"CAST(len(regexp_extract_all({text}, '{BPE_REGEX}')) AS BIGINT)"
     return ws, bpe
 
@@ -96,8 +111,8 @@ def sql_token_counts(text: str) -> tuple[str, str]:
 def sql_quality_cols(text: str) -> dict[str, str]:
     n_chars = f"CAST(length({text}) AS DOUBLE)"
     n_alpha = f"CAST(len(regexp_extract_all({text}, '[A-Za-z]')) AS DOUBLE)"
-    n_punct = f"CAST(len(regexp_extract_all({text}, '[^\\w\\s]')) AS DOUBLE)"
-    n_tok = f"CAST(len(regexp_split_to_array(trim({text}), '\\s+')) AS DOUBLE)"
+    n_punct = f"CAST(len(regexp_extract_all({text}, '{PUNCT_REGEX}')) AS DOUBLE)"
+    n_tok = f"CAST(len(regexp_split_to_array(trim({text}), '{WS_SPLIT_RE}')) AS DOUBLE)"
     alpha = f"(CASE WHEN {n_chars} > 0 THEN {n_alpha} / {n_chars} ELSE 0.0 END)"
     punct = f"(CASE WHEN {n_chars} > 0 THEN {n_punct} / {n_chars} ELSE 0.0 END)"
     mean_tok = f"(CASE WHEN {n_tok} > 0 THEN {n_chars} / {n_tok} ELSE 0.0 END)"
@@ -127,7 +142,7 @@ def sql_lang_id(text: str) -> str:
 
 
 def sql_fingerprint(text: str) -> str:
-    norm = f"lower(trim(regexp_replace({text}, '\\s+', ' ', 'g')))"
+    norm = f"lower(trim(regexp_replace({text}, '{WS_SPLIT_RE}', ' ', 'g')))"
     return f"substring(md5({norm}), 1, 16)"
 
 
@@ -138,7 +153,7 @@ def repetition_cols(text_col):
     list ops are native Catalyst array expressions (no UDF)."""
     from pyspark.sql import functions as F
 
-    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    toks = F.split(F.lower(F.trim(text_col)), WS_SPLIT_RE)
     n3 = F.size(toks) - 2
     grams = F.when(
         n3 >= 1,
@@ -160,7 +175,7 @@ def repetition_cols(text_col):
 
 
 def sql_repetition(text: str) -> str:
-    toks = f"regexp_split_to_array(lower(trim({text})), '\\s+')"
+    toks = f"regexp_split_to_array(lower(trim({text})), '{WS_SPLIT_RE}')"
     grams = (
         f"list_transform(generate_series(1, len({toks}) - 2), "
         f"i -> {toks}[i] || ' ' || {toks}[i + 1] || ' ' || {toks}[i + 2])"

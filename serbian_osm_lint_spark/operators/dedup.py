@@ -61,8 +61,9 @@ COSINE_DUP_THRESHOLD = 0.9
 #: ASCII-whitespace tokenizer class — the ONE split spec both engines (and
 #: the simhash pandas UDF) use. Java regex, RE2 and Python ``re`` all read
 #: these escapes identically; ``\s``/``str.split()`` would not (Java adds
-#: \x0B, RE2 lacks it, Python splits on all of Unicode).
-WS_SPLIT_RE = r"[ \t\n\r\f\x0B]+"
+#: \x0B, RE2 lacks it, Python splits on all of Unicode). Canonically
+#: defined in :mod:`..functions.text` (ADVICE r4) and re-exported here.
+from ..functions.text import WS_SPLIT_RE  # noqa: E402
 
 #: target vectors per LSH sign-bucket — the knob :func:`n_planes_for`
 #: derives the hyperplane count from.
@@ -606,8 +607,12 @@ def embedding_near_dups_df(spark, sf_dir: str):
 
     n_raw = parquet_row_count(f"{sf_dir}/embeddings.parquet")
     emb = with_emb_dups_df(spark, sf_dir)
-    # with_emb_dups adds one perturbed copy per vec_id % 5 == 0
-    return emb_near_dup_pairs_from(emb, n_planes_for(n_raw + n_raw // 5))
+    # with_emb_dups adds one perturbed copy per vec_id % 5 == 0; for the
+    # contiguous 0..n-1 id domain that is ceil(n/5) copies, NOT n//5 — the
+    # SQL twin counts the actual unioned corpus, so an off-by-one here at a
+    # TARGET_BUCKET_SIZE*2^k boundary would silently diverge every bucket
+    # (ADVICE r4, medium).
+    return emb_near_dup_pairs_from(emb, n_planes_for(n_raw + (n_raw + 4) // 5))
 
 
 def sql_embedding_near_dups() -> str:

@@ -65,6 +65,14 @@ def _jpeg_dims(payload: bytes):
         if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone (TEM/RSTn/SOI)
             i += 2
             continue
+        if marker == 0xD9:  # EOI: end of stream, no SOF seen
+            break
+        if marker == 0xDA:
+            # SOS starts entropy-coded data, where 0xFF-stuffed bytes would
+            # parse as bogus segments and could match a spurious SOFn —
+            # garbage dims instead of an error (ADVICE r4). A SOF must
+            # precede SOS in any decodable JPEG.
+            raise ValueError("corrupt JPEG: no SOF before SOS")
         seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
         if seg_len < 2:
             raise ValueError("corrupt JPEG: bad segment length")

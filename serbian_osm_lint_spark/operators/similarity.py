@@ -106,12 +106,23 @@ MAX_ORACLE_PLANES = 16
 def sql_n_planes(count_from: str) -> str:
     """SQL replica of ``dedup.n_planes_for`` over a live ``count(*)`` —
     the twins derive the plane count from the scanned table instead of
-    pinning a corpus size, so the oracle gate is scale-generic."""
+    pinning a corpus size, so the oracle gate is scale-generic.
+
+    Past :data:`MAX_ORACLE_PLANES` (≈2M vectors) the twin's plane-term
+    budget runs out; rather than silently dropping the high plane bits
+    while the Spark face keeps them (ADVICE r4), the twin RAISES via
+    DuckDB ``error()`` — an over-budget corpus fails the oracle loudly."""
     from .dedup import TARGET_BUCKET_SIZE
 
+    derived = (
+        f"GREATEST(1, CAST(CEIL(LOG2(GREATEST(2.0, "
+        f"count(*) / {TARGET_BUCKET_SIZE}.0))) AS INT))"
+    )
     return (
-        f"SELECT GREATEST(1, CAST(CEIL(LOG2(GREATEST(2.0, "
-        f"count(*) / {TARGET_BUCKET_SIZE}.0))) AS INT)) AS n FROM {count_from}"
+        f"SELECT CASE WHEN {derived} > {MAX_ORACLE_PLANES} THEN "
+        f"CAST(error('corpus needs ' || {derived} || ' planes > MAX_ORACLE_PLANES="
+        f"{MAX_ORACLE_PLANES}: raise the oracle plane budget') AS INT) "
+        f"ELSE {derived} END AS n FROM {count_from}"
     )
 
 

@@ -663,3 +663,68 @@ def test_audio_probe_quarantine_mode(spark):
     assert rows["ok"].sample_rate == 8000 and rows["ok"].decode_error is None
     with pytest.raises(Exception, match="corrupt WAV"):
         media.audio_probe_from(df).collect()
+
+
+def test_jpeg_sos_before_sof_raises():
+    """ADVICE r4: a JPEG whose SOS precedes any SOFn must raise instead of
+    walking into entropy-coded data (where 0xFF-stuffed bytes can parse as
+    a spurious SOFn and return garbage dims); EOI ends the stream."""
+    import struct
+
+    import pytest
+
+    from serbian_osm_lint_spark.operators import media
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    # SOS first, then entropy data containing a fake SOF0-looking run that
+    # the old walker could have matched
+    fake_sof_body = struct.pack(">BHHB", 8, 666, 666, 3) + b"\x01\x22\x00"
+    evil = (
+        b"\xff\xd8"
+        + seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+        + seg(0xC0, fake_sof_body)  # looks like SOF but lives inside scan data
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="no SOF before SOS"):
+        media.try_real_decode(evil)
+    # EOI with no SOF seen: end-of-stream error, not an entropy-walk
+    with pytest.raises(ValueError, match="no SOF"):
+        media.try_real_decode(b"\xff\xd8\xff\xd9" + b"\x00" * 8)
+
+
+def test_emb_dup_count_is_exact_at_plane_boundary():
+    """ADVICE r4 (medium): with_emb_dups adds ceil(n/5) copies for a
+    contiguous id domain, not n//5. At n_raw=854 the true total is 1025
+    (6 planes) while the old n//5 estimate gave 1024 (5 planes) — every
+    bucket would diverge from the count-based SQL twin."""
+    from serbian_osm_lint_spark.operators import dedup
+
+    n_raw = 854
+    exact_copies = sum(1 for i in range(n_raw) if i % 5 == 0)
+    assert exact_copies == (n_raw + 4) // 5 == 171
+    assert dedup.n_planes_for(n_raw + (n_raw + 4) // 5) == 6   # what ships
+    assert dedup.n_planes_for(n_raw + n_raw // 5) == 5         # the old bug
+
+
+def test_sql_n_planes_raises_past_oracle_budget():
+    """ADVICE r4: past MAX_ORACLE_PLANES the SQL twin must fail loudly
+    (DuckDB error()) instead of silently dropping high plane bits."""
+    import duckdb
+    import pytest
+
+    from serbian_osm_lint_spark.operators import similarity
+
+    con = duckdb.connect()
+    # small corpus: returns the derived count
+    n = con.execute(
+        similarity.sql_n_planes("(SELECT * FROM range(500))")
+    ).fetchone()[0]
+    from serbian_osm_lint_spark.operators import dedup
+
+    assert n == dedup.n_planes_for(500)
+    # 3M rows needs 17 planes > budget of 16: loud failure, not silent drift
+    with pytest.raises(Exception, match="MAX_ORACLE_PLANES"):
+        con.execute(similarity.sql_n_planes("(SELECT * FROM range(3000000))"))
+    con.close()
