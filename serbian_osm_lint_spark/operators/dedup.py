@@ -224,7 +224,10 @@ def minhash_signatures_df(spark, sf_dir: str):
     return _shingled_sig_from(with_near_dups_df(spark, sf_dir)).drop("shingles_h")
 
 
-def sql_minhash_signatures() -> str:
+def sql_minhash_signatures(corpus_sql: str | None = None) -> str:
+    """Twin of :func:`minhash_signatures_df`; ``corpus_sql`` overrides the
+    default planted-dup corpus with any (doc_id, text) SELECT (used by the
+    shard pipeline to dedup its own redacted corpus)."""
     sh = _sql_shingles("text")
     sigs = []
     for i in range(N_HASHES):
@@ -232,7 +235,7 @@ def sql_minhash_signatures() -> str:
         off = (i % 4) * 8 + 1
         sigs.append(f"list_min([substring(h, {off}, 8) FOR h IN {src}]) AS sig_{i}")
     return (
-        f"WITH d AS ({sql_with_near_dups()}), "
+        f"WITH d AS ({corpus_sql or sql_with_near_dups()}), "
         f"sh0 AS (SELECT doc_id, {sh} AS shingles FROM d), "
         f"sh AS (SELECT doc_id, [md5(s) FOR s IN shingles] AS h1, "
         f"[md5(s || '#') FOR s IN shingles] AS h2 FROM sh0) "
@@ -292,7 +295,7 @@ def lsh_verified_pairs_from(texts, threshold: float = JACCARD_THRESHOLD):
     )
 
 
-def _sql_lsh_verified_pairs(threshold: float) -> str:
+def _sql_lsh_verified_pairs(threshold: float, corpus_sql: str | None = None) -> str:
     rows_per_band = N_HASHES // N_BANDS
     band_cols = ", ".join(
         "md5('{b}' || '|' || ".format(b=b)
@@ -307,8 +310,8 @@ def _sql_lsh_verified_pairs(threshold: float) -> str:
         "/ len(list_distinct(list_concat(a.shingles_h, b.shingles_h))), 6)"
     )
     return f"""
-    WITH sig AS ({sql_minhash_signatures()}),
-    d AS ({sql_with_near_dups()}),
+    WITH sig AS ({sql_minhash_signatures(corpus_sql)}),
+    d AS ({corpus_sql or sql_with_near_dups()}),
     shd AS (SELECT doc_id,
             [CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) FOR s IN {sh}]
             AS shingles_h FROM d),
@@ -758,14 +761,13 @@ def dedup_components_df(spark, sf_dir: str):
     return components_from(pairs)
 
 
-def sql_dedup_components() -> str:
-    """DuckDB twin: min-reachable-label via a recursive CTE (UNION
-    dedups, so the walk terminates); same unique fixpoint as the Spark
-    label propagation."""
+def sql_components_over(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`components_from` over ANY
+    ``(doc_id_a, doc_id_b)`` pair SELECT: min-reachable-label via a
+    recursive CTE (UNION dedups, so the walk terminates); same unique
+    fixpoint as the Spark label propagation."""
     return f"""
-    WITH RECURSIVE pairs AS (
-      SELECT doc_id_a, doc_id_b FROM ({_sql_lsh_verified_pairs(JACCARD_THRESHOLD)})
-    ),
+    WITH RECURSIVE pairs AS ({pairs_sql}),
     edges AS (
       SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
       UNION SELECT doc_id_b, doc_id_a FROM pairs
@@ -779,3 +781,11 @@ def sql_dedup_components() -> str:
            doc_id = min(label) AS is_canonical
     FROM walk GROUP BY doc_id
     """
+
+
+def sql_dedup_components() -> str:
+    """DuckDB twin of :func:`dedup_components_df` (see
+    :func:`sql_components_over`)."""
+    return sql_components_over(
+        f"SELECT doc_id_a, doc_id_b FROM ({_sql_lsh_verified_pairs(JACCARD_THRESHOLD)})"
+    )
