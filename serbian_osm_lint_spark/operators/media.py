@@ -27,6 +27,8 @@ import hashlib
 import numpy as np
 import pandas as pd
 
+from . import media_fixtures
+
 FEATURE_DIM = 8
 
 #: schema of the extracted media-feature rows (flat doubles: see module doc).
@@ -214,10 +216,20 @@ def media_features_from(payloads, on_error: str = "raise"):
     return payloads.mapInPandas(extract, schema)
 
 
+def _payloads_with_fixtures(spark, docs):
+    """Corpus media payloads plus the 5 REAL-format fixture payloads
+    (:mod:`.media_fixtures`) — puts the PNG/JPEG/GIF/WAV/MP4 header walks
+    under the end-to-end oracle hash gate (VERDICT r4 item 5). The union
+    side is a 5-row local relation: no shuffle, negligible at any scale."""
+    from .media_fixtures import fixture_payloads_df
+
+    return media_payloads_df(spark, docs).unionByName(fixture_payloads_df(spark))
+
+
 def extract_media_features_df(spark, docs, batch_hint: int = 1024):
-    """Media features over the doc table's media spans (see
-    :func:`media_features_from` for the batch shape)."""
-    return media_features_from(media_payloads_df(spark, docs))
+    """Media features over the doc table's media spans plus the real-format
+    fixtures (see :func:`media_features_from` for the batch shape)."""
+    return media_features_from(_payloads_with_fixtures(spark, docs))
 
 
 #: sample-rate palette for the deterministic audio stub.
@@ -335,9 +347,10 @@ def audio_probe_from(payloads, on_error: str = "raise"):
 
 
 def probe_media_audio_df(spark, docs):
-    """Audio metadata over the doc table's media spans (see
-    :func:`audio_probe_from` for the batch shape)."""
-    return audio_probe_from(media_payloads_df(spark, docs))
+    """Audio metadata over the doc table's media spans plus the real-format
+    fixtures — the WAV fixture exercises the RIFF chunk walk under the
+    oracle gate (see :func:`audio_probe_from` for the batch shape)."""
+    return audio_probe_from(_payloads_with_fixtures(spark, docs))
 
 
 def sql_audio_probe(docs_sql: str) -> str:
@@ -367,6 +380,7 @@ def sql_audio_probe(docs_sql: str) -> str:
            CAST((CAST(sample_rate * (1 + b6 % 30) + b7 AS BIGINT) * 1000000)
                 // sample_rate AS BIGINT) AS duration_us
     FROM p
+    UNION ALL {media_fixtures.sql_audio_fixture_rows()}
     """
 
 
@@ -493,9 +507,11 @@ def media_frames_from(payloads):
 
 
 def sample_media_frames_df(spark, docs):
-    """Frame sampling over the doc table's media spans (see
-    :func:`media_frames_from` for the batch shape and decode paths)."""
-    return media_frames_from(media_payloads_df(spark, docs))
+    """Frame sampling over the doc table's media spans plus the real-format
+    fixtures — the MP4 fixture drives the sampler from real mvhd/tkhd
+    metadata under the oracle gate (see :func:`media_frames_from` for the
+    batch shape and decode paths)."""
+    return media_frames_from(_payloads_with_fixtures(spark, docs))
 
 
 def sql_media_frames(docs_sql: str) -> str:
@@ -521,6 +537,7 @@ def sql_media_frames(docs_sql: str) -> str:
            CAST(least(h2 // 2, 64) AS INT) AS resized_h
     FROM dims CROSS JOIN (SELECT unnest(range(0, 16, {FRAME_STRIDE})) AS idx) f
     WHERE f.idx < n_frames
+    UNION ALL {media_fixtures.sql_frame_fixture_rows()}
     """
 
 
@@ -539,5 +556,6 @@ def sql_media_features(docs_sql: str) -> str:
         f"m AS (SELECT doc_id, media_ref, md5(media_ref) AS h FROM d) "
         f"SELECT doc_id, media_ref, CAST(length(media_ref) AS INT) AS byte_len, "
         f"CAST(64 + {byte(0)} % 192 AS INT) AS width, "
-        f"CAST(64 + {byte(1)} % 192 AS INT) AS height, {feats} FROM m"
+        f"CAST(64 + {byte(1)} % 192 AS INT) AS height, {feats} FROM m "
+        f"UNION ALL {media_fixtures.sql_feature_fixture_rows()}"
     )

@@ -86,18 +86,61 @@ def test_ann_ivf_recall_vs_brute_force(spark):
 
 def test_media_feature_plumbing(spark):
     from serbian_osm_lint_spark import synth
-    from serbian_osm_lint_spark.operators import media
+    from serbian_osm_lint_spark.operators import media, media_fixtures
 
     docs = synth.docs_df(spark, SF_SMALL)
     feats = media.extract_media_features_df(spark, docs).collect()
     n_docs = docs.count()
-    assert len(feats) == n_docs  # one media span per doc in the corpus
-    for r in feats[:20]:
+    corpus_rows = [r for r in feats if not r.doc_id.startswith("fixture_")]
+    # one media span per doc in the corpus, + the 5 real-format fixtures
+    assert len(corpus_rows) == n_docs
+    assert len(feats) == n_docs + len(media_fixtures.FIXTURES)
+    for r in corpus_rows[:20]:
         assert r.media_ref.startswith("img/")
         assert r.byte_len == len(r.media_ref.encode())
         assert 64 <= r.width < 256 and 64 <= r.height < 256
         feat = [getattr(r, f"feature_{j}") for j in range(media.FEATURE_DIM)]
         assert all(0.0 <= x <= 1.0 for x in feat)
+
+
+def test_media_fixture_rows_use_real_parses(spark):
+    """The real-format fixtures flow through the SAME query path as the
+    corpus spans and come out with header-parsed (not stub) values — the
+    oracle-gated proof that the PNG/GIF/WAV/MP4 walks run end-to-end."""
+    from serbian_osm_lint_spark import synth
+    from serbian_osm_lint_spark.operators import media, media_fixtures
+
+    docs = synth.docs_df(spark, SF_SMALL)
+    feats = {
+        r.doc_id: r
+        for r in media.extract_media_features_df(spark, docs).collect()
+        if r.doc_id.startswith("fixture_")
+    }
+    # stub dims are always < 256; these are the authored container dims
+    assert (feats["fixture_png"].width, feats["fixture_png"].height) == (640, 360)
+    assert (feats["fixture_jpeg"].width, feats["fixture_jpeg"].height) == (800, 600)
+    assert (feats["fixture_gif"].width, feats["fixture_gif"].height) == (320, 200)
+
+    audio = {
+        r.doc_id: r
+        for r in media.probe_media_audio_df(spark, docs).collect()
+        if r.doc_id.startswith("fixture_")
+    }
+    wav = audio["fixture_wav"]
+    assert (wav.sample_rate, wav.channels, wav.bits_per_sample) == (16000, 2, 16)
+    assert wav.n_samples == 48000 and wav.duration_us == 3_000_000
+
+    frames = [
+        r
+        for r in media.media_frames_from(
+            media_fixtures.fixture_payloads_df(spark)
+        ).collect()
+        if r.doc_id == "fixture_mp4"
+    ]
+    # 7 s mvhd duration -> 7 frames, strided by 4 -> idx 0 and 4;
+    # resize = tkhd dims halved then capped at 64
+    assert sorted(r.frame_idx for r in frames) == [0, 4]
+    assert all(r.n_frames == 7 and (r.resized_w, r.resized_h) == (64, 64) for r in frames)
 
 
 def test_media_decode_stub_gates_real_path():
