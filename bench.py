@@ -53,7 +53,7 @@ def consume(df):
 
 def main():
     from serbian_osm_lint_spark.session import get_spark
-    from serbian_osm_lint_spark.operators import dedup, similarity, spatial
+    from serbian_osm_lint_spark.operators import dedup, events, media, similarity, spatial
     from serbian_osm_lint_spark.plans import lint_pipeline
     from serbian_osm_lint_spark.sources import catalog
 
@@ -84,6 +84,20 @@ def main():
     def q_ann():
         return similarity.ann_cosine_topk_df(spark, SF_DIR)
 
+    # round-5 additions (VERDICT r4 item 4): track the r4 operator
+    # families round-over-round under the stable warm-median protocol
+    def q_simhash_near():
+        return dedup.simhash_near_dups_df(spark, SF_DIR)
+
+    def q_media():
+        return media.extract_media_features_df(spark, docs)
+
+    def q_asof():
+        return events.asof_join_df(spark, SF_DIR)
+
+    def q_range():
+        return events.range_join_df(spark, SF_DIR)
+
     benches = {
         "lint_verdicts": q_lint,
         "point_in_serbia": q_pip,
@@ -92,6 +106,10 @@ def main():
         "cell_counts_salted": q_cells,
         "minhash_lsh_pairs": q_minhash,
         "ann_cosine_topk": q_ann,
+        "simhash_near_dups": q_simhash_near,
+        "media_features": q_media,
+        "asof_join": q_asof,
+        "range_join": q_range,
     }
 
     timings = {}
