@@ -232,6 +232,38 @@ def extract_media_features_df(spark, docs, batch_hint: int = 1024):
     return media_features_from(_payloads_with_fixtures(spark, docs))
 
 
+def write_media_features_quarantined(payloads, out_dir: str, extractor=None):
+    """Quarantine write with a metrics side-channel, in ONE action
+    (VERDICT r4 item 6, mirroring the resume ``observe()`` pattern).
+
+    The quarantine-mode frame is written ``partitionBy(is_quarantined)``:
+    clean rows land under ``is_quarantined=false`` and corrupt-payload
+    rows under ``is_quarantined=true`` — a genuine side table (readable
+    on its own, partition-pruned) without a second job over the payloads.
+    An :class:`~pyspark.sql.Observation` rides the same write, so the
+    total/quarantined counts come from the action itself, not a re-read.
+
+    ``extractor`` defaults to :func:`media_features_from`; pass
+    :func:`audio_probe_from` for the audio face (both share the
+    ``decode_error`` quarantine column contract).
+
+    Returns ``{"rows": total, "quarantined": n_bad}``.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    extractor = media_features_from if extractor is None else extractor
+    feats = extractor(payloads, on_error="quarantine")
+    obs = Observation()
+    observed = feats.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.count("decode_error").alias("quarantined"),  # count() skips NULLs
+    ).withColumn("is_quarantined", F.col("decode_error").isNotNull())
+    observed.write.mode("overwrite").partitionBy("is_quarantined").parquet(out_dir)
+    return {"rows": obs.get["rows"], "quarantined": obs.get["quarantined"]}
+
+
 #: sample-rate palette for the deterministic audio stub.
 WAV_RATES = (8000, 16000, 22050, 44100, 48000)
 
