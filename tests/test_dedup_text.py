@@ -80,8 +80,28 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     overlap = sum(len(brute.get(q, set()) & s) for q, s in ivf.items())
     total = sum(len(s) for s in brute.values())
     assert total > 0
-    # multi-probe IVF should beat the single-bucket LSH recall floor
-    assert overlap / total > 0.2
+    # data-derived centroids (r5): measured 0.73-0.75 across sf0.001-0.1
+    # vs 0.54 for the old LCG codebook — well above the 0.5 floor
+    assert overlap / total > 0.5
+
+
+def test_ivf_small_corpus_raises_both_faces(spark, tmp_path):
+    """A corpus too small to fill all centroid strata must fail LOUDLY and
+    symmetrically in both engines — never a silent codebook divergence."""
+    import duckdb
+    import pytest
+
+    from serbian_osm_lint_spark.operators import similarity
+
+    src = str(tmp_path / "embeddings.parquet")
+    spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(5).write.parquet(src)
+    with pytest.raises(ValueError, match="centroid strata"):
+        similarity.data_centroids(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{src}/*.parquet'")
+    with pytest.raises(duckdb.Error, match="centroid strata"):
+        con.execute(similarity.sql_ann_ivf_topk()).df()
+    con.close()
 
 
 def test_media_feature_plumbing(spark):
@@ -667,6 +687,53 @@ def test_media_decode_quarantine_mode(spark):
         media.media_features_from(df).collect()
     with pytest.raises(ValueError):
         media.media_features_from(df, on_error="ignore")
+
+
+def test_quarantine_write_side_channel(spark, tmp_path):
+    """VERDICT r4 item 6: the quarantine write routes corrupt rows to a
+    side partition AND observes total/quarantined counts in the SAME
+    action — one job, no re-read of the payloads."""
+    from serbian_osm_lint_spark.operators import media
+
+    corrupt = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + b"XXXX" + b"\x00" * 8
+    df = spark.createDataFrame(
+        [
+            ("bad", "img/corrupt.png", bytearray(corrupt)),
+            ("ok1", "img/good.png", bytearray(_make_png(12, 34))),
+            ("ok2", "img/fake", bytearray(b"img/fake")),
+        ],
+        "doc_id string, media_ref string, payload binary",
+    )
+    out = str(tmp_path / "feats")
+
+    n_jobs_before = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+    metrics = media.write_media_features_quarantined(df, out)
+    n_jobs = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None)) - n_jobs_before
+    assert n_jobs == 1  # write + counts share one action; no metrics re-read
+
+    assert metrics == {"rows": 3, "quarantined": 1}
+    side = spark.read.parquet(out).filter("is_quarantined = 'true'").collect()
+    assert [r.doc_id for r in side] == ["bad"]
+    assert "IHDR" in side[0].decode_error
+    main = {r.doc_id: r for r in spark.read.parquet(out).filter("is_quarantined = 'false'").collect()}
+    assert set(main) == {"ok1", "ok2"}
+    assert (main["ok1"].width, main["ok1"].height) == (12, 34)
+    assert all(r.decode_error is None for r in main.values())
+
+    # audio face shares the same seam
+    wav_df = spark.createDataFrame(
+        [
+            ("badw", "aud/x.wav", bytearray(b"RIFF\x08\x00\x00\x00WAVE")),
+            ("okw", "aud/y.wav", bytearray(_make_wav(8000, 1, 16, 80))),
+        ],
+        "doc_id string, media_ref string, payload binary",
+    )
+    out2 = str(tmp_path / "audio")
+    metrics2 = media.write_media_features_quarantined(
+        wav_df, out2, extractor=media.audio_probe_from
+    )
+    assert metrics2 == {"rows": 2, "quarantined": 1}
+    assert [r.doc_id for r in spark.read.parquet(out2).filter("is_quarantined = 'true'").collect()] == ["badw"]
 
 
 def test_jpeg_gif_real_decode_through_mapinpandas(spark):
