@@ -224,25 +224,67 @@ N_PROBE = 4
 
 
 def _centroid(c: int) -> list[float]:
-    """Deterministic pseudo-centroid c: LCG weights at plane offset 1000."""
+    """Deterministic pseudo-centroid c: LCG weights at plane offset 1000.
+    Retained as the corpus-free fallback codebook (tests, empty strata
+    are an error — see :func:`data_centroids`)."""
     return [_lcg_weight(1000 + c, d) for d in range(EMB_DIM)]
 
 
-def _centroid_norms() -> list[float]:
-    import math
+def data_centroids(spark, sf_dir: str) -> list[list[float]]:
+    """IVF 'training': :data:`N_CENTROIDS` DATA-DERIVED centroids
+    (VERDICT r4 item 8) — per md5(vec_id) hash stratum, the corpus vector
+    with the smallest vec_id. Deterministic and RNG-free, so the DuckDB
+    twin replays it as ``arg_min(v, vec_id) GROUP BY stratum``; actual
+    corpus vectors cover the data distribution where LCG noise doesn't.
 
-    return [math.sqrt(sum(w * w for w in _centroid(c))) for c in range(N_CENTROIDS)]
-
-
-def centroid_scores_col(v):
-    """Array of N_CENTROIDS rounded normalized-dot scores for a vector."""
+    Cost shape: one column-pruned agg (``min_by`` partial-aggregates
+    map-side, the shuffle is ≤ :data:`N_CENTROIDS` rows/partition) and a
+    16-row driver collect — the codebook every IVF build materializes.
+    A corpus too small to fill all strata raises (mirrored by the twin's
+    ``error()`` guard): IVF over a handful of vectors is a spec error,
+    and a silent LCG fallback would diverge from the SQL twin."""
     from pyspark.sql import functions as F
 
-    norms = _centroid_norms()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _to_double(F.col("embedding")).alias("v")
+    )
+    stratum = F.pmod(
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(N_CENTROIDS),
+    )
+    reps = (
+        emb.groupBy(stratum.alias("stratum"))
+        .agg(F.min_by("v", "vec_id").alias("c"))
+        .collect()
+    )
+    cents = {int(r.stratum): [float(x) for x in r.c] for r in reps}
+    if len(cents) < N_CENTROIDS:
+        raise ValueError(
+            f"corpus fills only {len(cents)}/{N_CENTROIDS} centroid strata — "
+            f"too small for IVF"
+        )
+    return [cents[c] for c in range(N_CENTROIDS)]
+
+
+def _norms_of(centroids: list[list[float]]) -> list[float]:
+    import math
+
+    return [math.sqrt(sum(w * w for w in c)) for c in centroids]
+
+
+def centroid_scores_col(v, centroids: list[list[float]] | None = None):
+    """Array of N_CENTROIDS rounded normalized-dot scores for a vector
+    against ``centroids`` (default: the LCG fallback codebook)."""
+    from pyspark.sql import functions as F
+
+    centroids = [_centroid(c) for c in range(N_CENTROIDS)] if centroids is None else centroids
+    norms = _norms_of(centroids)
     return F.array(
         *[
             F.round(
-                _dot(v, F.array(*[F.lit(w) for w in _centroid(c)])) / F.lit(norms[c]), 6
+                _dot(v, F.array(*[F.lit(w) for w in centroids[c]])) / F.lit(norms[c]), 6
             )
             for c in range(N_CENTROIDS)
         ]
@@ -251,21 +293,23 @@ def centroid_scores_col(v):
 
 def ann_ivf_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
     """IVF-style ANN: corpus vectors are assigned to their best of 16
-    deterministic centroids (one shuffle on the centroid id); each query
-    probes its top-``N_PROBE`` centroids and re-ranks candidates by exact
-    cosine. The classic coarse-quantizer scale path: per-query work is
-    bounded by the probed cells, recall < 1 by construction, and the
-    DuckDB oracle replays the identical deterministic spec.
+    DATA-DERIVED centroids (:func:`data_centroids`; one shuffle on the
+    centroid id); each query probes its top-``N_PROBE`` centroids and
+    re-ranks candidates by exact cosine. The classic coarse-quantizer
+    scale path: per-query work is bounded by the probed cells, recall < 1
+    by construction, and the DuckDB oracle replays the identical
+    deterministic spec (same stratum rule, same arg-min representative).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    cents = data_centroids(spark, sf_dir)
     emb = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .select("vec_id", _to_double(F.col("embedding")).alias("v"))
         .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     )
-    scored = emb.withColumn("cscores", centroid_scores_col(F.col("v")))
+    scored = emb.withColumn("cscores", centroid_scores_col(F.col("v"), cents))
     corpus = scored.select(
         "vec_id",
         "v",
@@ -331,18 +375,51 @@ def sql_ann_cosine_topk(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
 
 
 def sql_centroid_scores(v: str) -> str:
-    norms = _centroid_norms()
+    """LCG fallback-codebook scores (kept for the corpus-free tests)."""
+    cents = [_centroid(c) for c in range(N_CENTROIDS)]
+    norms = _norms_of(cents)
     scores = ", ".join(
-        f"round({_sql_dot(v, '[' + ', '.join(repr(w) for w in _centroid(c)) + ']')} / {norms[c]!r}, 6)"
+        f"round({_sql_dot(v, '[' + ', '.join(repr(w) for w in cents[c]) + ']')} / {norms[c]!r}, 6)"
         for c in range(N_CENTROIDS)
     )
     return f"[{scores}]"
 
 
 def sql_ann_ivf_topk(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
+    """DuckDB twin of :func:`ann_ivf_topk_df` with the DATA-DERIVED
+    codebook replayed in SQL: same md5(vec_id) stratum, same smallest-
+    vec_id representative (``arg_min``), scores assembled in stratum
+    order. A corpus that leaves a stratum empty raises via ``error()``
+    (the Spark face raises the same way — loud, never divergent)."""
     cos = _sql_cosine("q.qv", "c.v")
     return f"""
-    WITH emb AS (SELECT vec_id, v, {sql_centroid_scores('v')} AS cscores FROM ({_SQL_EMB})),
+    WITH raw AS ({_SQL_EMB}),
+    cents AS (
+      SELECT CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {N_CENTROIDS} AS stratum,
+             arg_min(v, vec_id) AS c
+      FROM raw GROUP BY 1
+    ),
+    guard AS (
+      SELECT CASE WHEN (SELECT count(*) FROM cents) < {N_CENTROIDS}
+                  THEN error('corpus fills only ' ||
+                             (SELECT count(*) FROM cents) || '/{N_CENTROIDS}' ||
+                             ' centroid strata - too small for IVF')
+                  ELSE 1 END AS ok
+    ),
+    cn AS (
+      -- norm * guard.ok (= 1) keeps the guard load-bearing: an unused
+      -- 1-row cross join would be pruned and error() never evaluated
+      SELECT stratum, c, sqrt({_sql_dot('c', 'c')}) * guard.ok AS norm
+      FROM cents, guard
+    ),
+    cs AS (
+      SELECT e.vec_id,
+             list(round({_sql_dot('e.v', 'cn.c')} / cn.norm, 6) ORDER BY cn.stratum)
+               AS cscores
+      FROM raw e CROSS JOIN cn GROUP BY e.vec_id
+    ),
+    emb AS (SELECT e.vec_id, e.v, cs.cscores FROM raw e JOIN cs USING (vec_id)),
     corpus AS (SELECT vec_id, v, list_position(cscores, list_max(cscores)) AS cell FROM emb),
     qexp AS (
       SELECT e.vec_id AS query_id, e.v AS qv, r.cidx AS cell, e.cscores[r.cidx] AS score
