@@ -146,32 +146,51 @@ def sql_fingerprint(text: str) -> str:
     return f"substring(md5({norm}), 1, 16)"
 
 
+def _bind(expr, fn):
+    """Let-binding inside one Column: evaluate ``expr`` once and pass the
+    bound value to ``fn`` via a single-element-array ``transform``.
+    Higher-order lambdas run interpreted (no codegen, no common-subexpr
+    elimination), so an expression referenced N times is re-EVALUATED N
+    times — binding keeps multi-reference array pipelines linear without
+    forcing a projection boundary on the caller (r5)."""
+    from pyspark.sql import functions as F
+
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def repetition_cols(text_col):
     """Gopher-style within-document repetition signal: the fraction of
     duplicate word 3-grams (case-folded), 0.0 when the doc has fewer
     than 3 tokens. Boilerplate and looping generations score high; all
-    list ops are native Catalyst array expressions (no UDF)."""
+    list ops are native Catalyst array expressions (no UDF). The token
+    array and the gram array are each let-bound (:func:`_bind`) — inline
+    they would be re-split per ``element_at`` / re-built per reference."""
     from pyspark.sql import functions as F
 
-    toks = F.split(F.lower(F.trim(text_col)), WS_SPLIT_RE)
-    n3 = F.size(toks) - 2
-    grams = F.when(
-        n3 >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n3, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+    def with_grams(grams):
+        n = F.size(grams).cast("double")
+        return F.when(
+            n > 0, F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / n, 6)
+        ).otherwise(F.lit(0.0))
+
+    def with_toks(toks):
+        n3 = F.size(toks) - 2
+        grams = F.when(
+            n3 >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n3, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    n = F.size(grams).cast("double")
-    ratio = F.when(
-        n > 0, F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / n, 6)
-    ).otherwise(F.lit(0.0))
-    return ratio.alias("rep_3gram_ratio")
+        ).otherwise(F.array().cast("array<string>"))
+        return _bind(grams, with_grams)
+
+    toks = F.split(F.lower(F.trim(text_col)), WS_SPLIT_RE)
+    return _bind(toks, with_toks).alias("rep_3gram_ratio")
 
 
 def sql_repetition(text: str) -> str:

@@ -148,11 +148,24 @@ def sql_dedup_exact() -> str:
 
 
 # ------------------------------------------------------------ minhash LSH
-def _shingles_col(text_col):
-    """Distinct word-3-gram shingles (native expressions)."""
+def words_col(text_col):
+    """The shared tokenizer split as a column (WS_SPLIT_RE contract)."""
     from pyspark.sql import functions as F
 
-    words = F.split(F.trim(text_col), WS_SPLIT_RE)
+    return F.split(F.trim(text_col), WS_SPLIT_RE)
+
+
+def _shingles_from_words(words):
+    """Distinct word-3-gram shingles from a MATERIALIZED words column.
+
+    ``words`` must be a bound attribute (its own projection), not the
+    inline ``split(...)`` expression: higher-order lambdas run
+    interpreted (no codegen, no common-subexpression elimination), so an
+    inline split child is RE-EVALUATED by every ``element_at`` — 3 per
+    shingle × ~22 shingles ≈ 66 regex splits per doc. Binding the array
+    first measured ~12× faster on a 200k-doc corpus (r5)."""
+    from pyspark.sql import functions as F
+
     n = F.size(words)
     return F.array_distinct(
         F.when(
@@ -199,7 +212,8 @@ def _shingled_sig_from(texts):
     """
     from pyspark.sql import functions as F
 
-    sh = texts.select("doc_id", _shingles_col(F.col("text")).alias("shingles"))
+    sh = texts.select("doc_id", words_col(F.col("text")).alias("w"))
+    sh = sh.select("doc_id", _shingles_from_words(F.col("w")).alias("shingles"))
     sh = sh.select(
         "doc_id",
         F.transform(F.col("shingles"), lambda s: F.md5(s)).alias("h1"),
