@@ -53,7 +53,14 @@ def consume(df):
 
 def main():
     from serbian_osm_lint_spark.session import get_spark
-    from serbian_osm_lint_spark.operators import dedup, events, media, similarity, spatial
+    from serbian_osm_lint_spark.operators import (
+        corpus,
+        dedup,
+        events,
+        media,
+        similarity,
+        spatial,
+    )
     from serbian_osm_lint_spark.plans import lint_pipeline
     from serbian_osm_lint_spark.sources import catalog
 
@@ -98,6 +105,9 @@ def main():
     def q_range():
         return events.range_join_df(spark, SF_DIR)
 
+    def q_decontam():
+        return corpus.decontaminate_df(spark, SF_DIR)
+
     benches = {
         "lint_verdicts": q_lint,
         "point_in_serbia": q_pip,
@@ -110,6 +120,7 @@ def main():
         "media_features": q_media,
         "asof_join": q_asof,
         "range_join": q_range,
+        "decontaminate": q_decontam,
     }
 
     timings = {}
