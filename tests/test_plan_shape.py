@@ -121,6 +121,24 @@ def test_media_pipeline_has_no_shuffle(spark):
         assert "MapInPandas" in plan
 
 
+def test_decontaminate_is_gram_equi_join(spark):
+    """r5: decontamination must candidate-generate via the 8-byte gram
+    hash equi-join — never an all-pairs/theta join — and the grams must
+    flow from a materialized words projection (the interpreted-lambda
+    CSE fix), visible as a split-bearing Project below the Generate."""
+    from serbian_osm_lint_spark.operators import corpus
+
+    plan = _plan(corpus.decontaminate_df(spark, SF_SMALL))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "gh" in plan
+    # the gram lambda consumes a bound words attribute (`element_at(w#n`),
+    # never an inline split child (`element_at(split(`): interpreted
+    # lambdas would re-run the split per element_at
+    assert "element_at(w#" in plan
+    assert "element_at(split(" not in plan
+
+
 def test_ivf_probes_are_broadcast(spark):
     """IVF: the small probe side broadcasts; candidate generation is an
     equi-join on the centroid cell, never a NestedLoop scan."""
