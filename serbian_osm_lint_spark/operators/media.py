@@ -480,7 +480,14 @@ def try_real_video_probe(payload: bytes):
 FRAME_STRIDE = 4
 
 
-def media_frames_from(payloads):
+MEDIA_FRAMES_SCHEMA = (
+    "doc_id string, media_ref string, n_frames int, frame_idx int, "
+    "frame_md5 string, resized_w int, resized_h int"
+)
+MEDIA_FRAMES_QUARANTINE_SCHEMA = MEDIA_FRAMES_SCHEMA + ", decode_error string"
+
+
+def media_frames_from(payloads, on_error: str = "raise"):
     """Frame-sample + resize plumbing for video-like payloads: every
     ``FRAME_STRIDE``-th frame of each media span, with the resize target
     (half the decoded dims, capped at 64) computed per frame.
@@ -493,33 +500,51 @@ def media_frames_from(payloads):
     per-partition, no shuffle), one output row per sampled frame.
     Output: (doc_id, media_ref, n_frames, frame_idx, frame_md5,
     resized_w, resized_h).
-    """
+
+    ``on_error='quarantine'`` completes the three-extractor symmetry
+    (features/audio/frames): a corrupt container emits ONE row with NULL
+    frame fields and the error in ``decode_error`` instead of failing
+    the task — composable with
+    :func:`write_media_features_quarantined`."""
     import pandas as pd
 
-    schema = (
-        "doc_id string, media_ref string, n_frames int, frame_idx int, "
-        "frame_md5 string, resized_w int, resized_h int"
-    )
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
+    quarantine = on_error == "quarantine"
 
     def sample(batches):
+        cols = (
+            "doc_id", "media_ref", "n_frames", "frame_idx",
+            "frame_md5", "resized_w", "resized_h",
+        )
         for pdf in batches:
-            out = {k: [] for k in (
-                "doc_id", "media_ref", "n_frames", "frame_idx",
-                "frame_md5", "resized_w", "resized_h",
-            )}
+            out = {k: [] for k in cols}
+            if quarantine:
+                out["decode_error"] = []
             for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
                 payload = bytes(payload)
                 digest = hashlib.md5(payload).digest()
-                if len(payload) >= 12 and payload[4:8] == b"ftyp":
-                    # REAL container metadata: dims from tkhd, one sampled
-                    # frame per second of mvhd duration (bounded)
-                    _, _, dur_ms, w, h = try_real_video_probe(payload)
-                    if w == 0 or h == 0:
+                try:
+                    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+                        # REAL container metadata: dims from tkhd, one sampled
+                        # frame per second of mvhd duration (bounded)
+                        _, _, dur_ms, w, h = try_real_video_probe(payload)
+                        if w == 0 or h == 0:
+                            w, h = _decode_image_stub(digest)
+                        n_frames = max(1, min(64, int(dur_ms // 1000)))
+                    else:
                         w, h = _decode_image_stub(digest)
-                    n_frames = max(1, min(64, int(dur_ms // 1000)))
-                else:
-                    w, h = _decode_image_stub(digest)
-                    n_frames = 8 + digest[2] % 8
+                        n_frames = 8 + digest[2] % 8
+                except (ValueError, NotImplementedError) as exc:
+                    if not quarantine:
+                        raise
+                    out["doc_id"].append(doc_id)
+                    out["media_ref"].append(ref)
+                    for k in ("n_frames", "frame_idx", "resized_w", "resized_h",
+                              "frame_md5"):
+                        out[k].append(None)
+                    out["decode_error"].append(f"{type(exc).__name__}: {exc}")
+                    continue
                 for idx in range(0, n_frames, FRAME_STRIDE):
                     out["doc_id"].append(doc_id)
                     out["media_ref"].append(ref)
@@ -530,11 +555,14 @@ def media_frames_from(payloads):
                     )
                     out["resized_w"].append(min(w // 2, 64))
                     out["resized_h"].append(min(h // 2, 64))
+                    if quarantine:
+                        out["decode_error"].append(None)
+            int_cols = ("n_frames", "frame_idx", "resized_w", "resized_h")
             yield pd.DataFrame(out).astype(
-                {"n_frames": "int32", "frame_idx": "int32",
-                 "resized_w": "int32", "resized_h": "int32"}
+                {c: ("Int32" if quarantine else "int32") for c in int_cols}
             )
 
+    schema = MEDIA_FRAMES_QUARANTINE_SCHEMA if quarantine else MEDIA_FRAMES_SCHEMA
     return payloads.mapInPandas(sample, schema)
 
 

@@ -736,6 +736,30 @@ def test_quarantine_write_side_channel(spark, tmp_path):
     assert [r.doc_id for r in spark.read.parquet(out2).filter("is_quarantined = 'true'").collect()] == ["badw"]
 
 
+def test_media_frames_quarantine_mode(spark):
+    """Frames extractor symmetry: a corrupt MP4 costs ONE quarantined row
+    (NULL frame fields + decode_error); strict default still raises."""
+    from serbian_osm_lint_spark.operators import media
+
+    corrupt = b"\x00\x00\x00\x0cftypisom"  # valid ftyp box, then no moov
+    df = spark.createDataFrame(
+        [
+            ("bad", "vid/corrupt.mp4", bytearray(corrupt)),
+            ("ok", "vid/good.mp4", bytearray(_make_mp4(640, 480, 9))),
+        ],
+        "doc_id string, media_ref string, payload binary",
+    )
+    rows = media.media_frames_from(df, on_error="quarantine").collect()
+    bad = [r for r in rows if r.doc_id == "bad"]
+    assert len(bad) == 1
+    assert bad[0].n_frames is None and "moov" in bad[0].decode_error
+    good = [r for r in rows if r.doc_id == "ok"]
+    assert sorted(r.frame_idx for r in good) == [0, 4, 8]
+    assert all(r.decode_error is None for r in good)
+    with pytest.raises(Exception, match="corrupt MP4"):
+        media.media_frames_from(df).collect()
+
+
 def test_jpeg_gif_real_decode_through_mapinpandas(spark):
     """The real-decode seam covers all three raster families through the
     full mapInPandas path: synthesized JPEG/GIF dims come from their
