@@ -26,6 +26,7 @@ zoom constants (independent implementation, shared spec).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -100,13 +101,9 @@ def _segment_intersects_rect(y1, x1, y2, x2, ymin, ymax, xmin, xmax) -> bool:
     return not (all(v > 0 for v in d) or all(v < 0 for v in d))
 
 
-def cell_cover(zoom: int = CELL_ZOOM):
-    """Classify every grid cell overlapping the polygon bbox.
-
-    Returns {cell_id: 'IN' | 'BOUNDARY'}; absent cells are OUT. A cell is
-    BOUNDARY iff any polygon edge intersects it; else IN/OUT by its
-    center point. Driver-side, O(bbox-cells × edges) — tiny at z12.
-    """
+def _cell_cover_scalar(zoom: int = CELL_ZOOM):
+    """Reference (scalar-Python) cell cover — kept as the parity oracle
+    for the vectorized :func:`cell_cover` (tested equal)."""
     lats = [p[0] for p in SERBIA_RING]
     lons = [p[1] for p in SERBIA_RING]
     x0, y1_ = geo.tile_xy_py(max(lats), min(lons), zoom)  # y grows south
@@ -130,6 +127,71 @@ def cell_cover(zoom: int = CELL_ZOOM):
             ):
                 cover[(x << zoom) | y] = "BOUNDARY"
             elif point_in_polygon_py((ymin + ymax) / 2, (xmin + xmax) / 2):
+                cover[(x << zoom) | y] = "IN"
+    return cover
+
+
+@functools.lru_cache(maxsize=None)
+def cell_cover(zoom: int = CELL_ZOOM):
+    """Classify every grid cell overlapping the polygon bbox.
+
+    Returns {cell_id: 'IN' | 'BOUNDARY'}; absent cells are OUT. A cell is
+    BOUNDARY iff any polygon edge intersects it; else IN/OUT by its
+    center point.
+
+    Numpy-vectorized over the (cells × edges) grid AND memoized: the
+    scalar double loop (~3k cells × 34 edges of pure-Python geometry)
+    cost ~1.7 s of DRIVER time on every plan build — half the measured
+    end-to-end latency of the PIP query (r5). The cover depends only on
+    the module polygon and the zoom, so it is computed once per process;
+    the arithmetic is the same float64 ops as the scalar oracle
+    (:func:`_cell_cover_scalar`), asserted equal in tests."""
+    lats = [p[0] for p in SERBIA_RING]
+    lons = [p[1] for p in SERBIA_RING]
+    x0, y1_ = geo.tile_xy_py(max(lats), min(lons), zoom)  # y grows south
+    x1_, y0 = geo.tile_xy_py(min(lats), max(lons), zoom)
+    n = 1 << zoom
+    xs = np.arange(x0, x1_ + 1)
+    ys = np.arange(y1_, y0 + 1)
+    lon_min = xs / n * 360.0 - 180.0
+    lon_max = (xs + 1) / n * 360.0 - 180.0
+    lat_max = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * ys / n))))
+    lat_min = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (ys + 1) / n))))
+    # (nx, ny, 1) cell bounds × (ne,) edges
+    ymin = lat_min[None, :, None]
+    ymax = lat_max[None, :, None]
+    xmin = lon_min[:, None, None]
+    xmax = lon_max[:, None, None]
+    e = np.asarray(EDGES, dtype=np.float64)
+    y1, x1, y2, x2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    dx, dy = x2 - x1, y2 - y1
+    bbox_miss = (
+        (np.maximum(y1, y2) < ymin)
+        | (np.minimum(y1, y2) > ymax)
+        | (np.maximum(x1, x2) < xmin)
+        | (np.minimum(x1, x2) > xmax)
+    )
+    d1 = dx * (ymin - y1) - dy * (xmin - x1)
+    d2 = dx * (ymin - y1) - dy * (xmax - x1)
+    d3 = dx * (ymax - y1) - dy * (xmin - x1)
+    d4 = dx * (ymax - y1) - dy * (xmax - x1)
+    one_side = ((d1 > 0) & (d2 > 0) & (d3 > 0) & (d4 > 0)) | (
+        (d1 < 0) & (d2 < 0) & (d3 < 0) & (d4 < 0)
+    )
+    boundary = (~bbox_miss & ~one_side).any(axis=2)
+    # cell-center ray cast (same guard idiom as _pip_pandas_udf)
+    la = ((lat_min + lat_max) / 2)[None, :, None]
+    lo = ((lon_min + lon_max) / 2)[:, None, None]
+    crosses = ((y1 > la) != (y2 > la)) & (
+        lo < dx * (la - y1) / np.where(dy == 0, np.inf, dy) + x1
+    )
+    inside = crosses.sum(axis=2) % 2 == 1
+    cover = {}
+    for i, x in enumerate(range(x0, x1_ + 1)):
+        for j, y in enumerate(range(y1_, y0 + 1)):
+            if boundary[i, j]:
+                cover[(x << zoom) | y] = "BOUNDARY"
+            elif inside[i, j]:
                 cover[(x << zoom) | y] = "IN"
     return cover
 

@@ -38,6 +38,14 @@ def test_cell_cover_classification():
         assert spatial.point_in_polygon_py(lat, lon), (x, y)
 
 
+def test_cell_cover_vectorized_equals_scalar():
+    """r5: the numpy-vectorized (and memoized) cover must classify every
+    cell identically to the scalar-Python oracle at several zooms —
+    same float64 arithmetic, different evaluation order."""
+    for zoom in (8, 10, spatial.CELL_ZOOM, 13):
+        assert spatial.cell_cover(zoom) == spatial._cell_cover_scalar(zoom), zoom
+
+
 def test_prefilter_equals_exact(spark):
     """The load-bearing invariant: cover-prefiltered PIP ≡ exact PIP."""
     from serbian_osm_lint_spark import synth
