@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "pii_redact": lambda s, d: corpus.pii_redact_df(s, d),
         "corpus_split": lambda s, d: corpus.corpus_split_df(s, d),
+        "vocab_topk": lambda s, d: corpus.vocab_topk_df(s, d),
         "decontaminate": lambda s, d: corpus.decontaminate_df(s, d),
         "training_shard": lambda s, d: corpus.training_shard_df(s, d),
         "dedup_exact": lambda s, d: dedup.dedup_exact_df(s, d),
@@ -197,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "text_profile": _sql_text_profile(),
         "pii_redact": corpus.sql_pii_redact(),
         "corpus_split": corpus.sql_corpus_split(),
+        "vocab_topk": corpus.sql_vocab_topk(),
         "decontaminate": corpus.sql_decontaminate(),
         "training_shard": corpus.sql_training_shard(),
         "dedup_exact": dedup.sql_dedup_exact(),

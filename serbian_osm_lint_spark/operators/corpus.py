@@ -427,6 +427,63 @@ def sql_decontaminate(n: int = N_CONTAM_GRAM) -> str:
     """
 
 
+# ------------------------------------------------------ vocabulary stats
+VOCAB_TOPK = 100
+
+
+def vocab_topk_df(spark, sf_dir: str, k: int = VOCAB_TOPK):
+    """Corpus vocabulary statistics — the tokenizer-training pass every
+    pretraining pipeline runs before fitting a BPE/unigram vocab: the
+    top-``k`` tokens by term frequency with their document frequencies.
+    Output (token, tf, df, rank), rank dense over (tf desc, token) so
+    ordering is total and engine-independent.
+
+    Scale shape: explode on the shared WS_SPLIT_RE tokenizer (words
+    bound in their own projection), ONE (token) shuffle with map-side
+    partial aggregation — token frequencies are zipfian but the partial
+    agg absorbs the hot heads before the exchange — then Spark's
+    TakeOrdered for the global top-k (no full sort)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .dedup import words_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    w = (
+        docs.select("doc_id", words_col(F.col("text")).alias("w"))
+        .select("doc_id", F.explode("w").alias("token"))
+        .filter(F.col("token") != "")
+    )
+    agg = w.groupBy("token").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    top = agg.orderBy(F.desc("tf"), "token").limit(k)
+    rank = F.row_number().over(Window.orderBy(F.desc("tf"), "token"))
+    return top.select("token", "tf", "df", rank.cast("int").alias("rank"))
+
+
+def sql_vocab_topk(k: int = VOCAB_TOPK) -> str:
+    """DuckDB twin of :func:`vocab_topk_df` (same tokenizer contract,
+    same total order)."""
+    from ..functions.text import WS_SPLIT_RE
+
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '{WS_SPLIT_RE}')) AS token
+      FROM documents
+    ),
+    a AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS tf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM w WHERE token <> '' GROUP BY token
+    )
+    SELECT token, tf, df,
+           CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT) AS rank
+    FROM a ORDER BY tf DESC, token LIMIT {k}
+    """
+
+
 def corpus_split_df(spark, sf_dir: str):
     """(doc_id, split): deterministic 80/10/10 train/val/test."""
     from pyspark.sql import functions as F

@@ -108,6 +108,26 @@ def test_repetition_ratio(spark):
     assert [round(float(x), 6) for x in du] == [round(float(x), 6) for x in got]
 
 
+def test_vocab_topk_stats(spark):
+    """r5 vocabulary pass: rank is total over (tf desc, token), df <= tf,
+    df bounded by the corpus size, and the tokenizer is the shared
+    WS_SPLIT_RE contract (no empty tokens)."""
+    from serbian_osm_lint_spark.operators import corpus
+
+    rows = corpus.vocab_topk_df(spark, SF_SMALL, k=50).collect()
+    # the synthetic doc corpus has a small fixed template vocabulary
+    # (~31 tokens), so top-50 returns the whole vocab
+    assert 0 < len(rows) <= 50
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    tfs = [r.tf for r in rows]
+    assert tfs == sorted(tfs, reverse=True)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.token != ""
+        assert 1 <= r.df <= r.tf
+        assert r.df <= n_docs
+
+
 def test_decontamination_flags_planted_13gram_leak(spark):
     """VERDICT r4 item 1: a train doc containing a test doc's 13-gram
     verbatim is flagged; clean train docs are not; short docs cannot
