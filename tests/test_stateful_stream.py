@@ -93,3 +93,40 @@ def test_stateful_asof_join_across_batches(spark, tmp_path):
         ts >= cut_us and a_ts is not None and a_ts < cut_us
         for (_, ts, _, _, a_ts, _) in streamed.values()
     )
+
+
+def test_stateful_asof_contract_needs_ordered_arrivals(spark, tmp_path):
+    """The documented contract, negatively: when arrivals violate
+    event-time order (newer slice first), the latest-right state is
+    already ahead of the older batch's left events and the streamed
+    output DIVERGES from batch — the operator requires ordered ingest
+    (production: watermark + sorted arrival), it does not silently
+    absorb disorder."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark.operators import events
+    from serbian_osm_lint_spark.streaming import stateful
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    cutoff = "2024-01-15"
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # REVERSED arrival order: second half first
+    ev.filter(F.col("ts") >= cutoff).coalesce(1).write.mode("append").parquet(src)
+    stateful.stream_asof_join(spark, src, out, ckpt)
+    ev.filter(F.col("ts") < cutoff).coalesce(1).write.mode("append").parquet(src)
+    stateful.stream_asof_join(spark, src, out, ckpt)
+
+    streamed = {
+        r.event_id: r.asof_event_id
+        for r in spark.read.parquet(os.path.join(out, "enriched")).collect()
+    }
+    batch = {
+        r.event_id: r.asof_event_id for r in events.asof_join_df(spark, SF_SMALL).collect()
+    }
+    assert set(streamed) == set(batch)  # same left events either way
+    assert any(streamed[e] != batch[e] for e in batch)  # but wrong partners
