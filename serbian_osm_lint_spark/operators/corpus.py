@@ -333,6 +333,24 @@ def with_contamination_df(spark, sf_dir: str):
     return docs.unionByName(plants)
 
 
+def holdout_grams_df(docs_split, n: int = N_CONTAM_GRAM):
+    """DISTINCT hashed ``n``-grams of the non-train (val/test) docs from a
+    ``(doc_id, text, split)`` frame — the frozen contamination reference
+    set. Shared by the batch pass (:func:`decontaminate_from`) and the
+    streaming face (``streaming.stream.stream_decontaminate``), which
+    computes it ONCE and joins every arriving micro-batch against it."""
+    from pyspark.sql import functions as F
+
+    from .dedup import words_col
+
+    return (
+        docs_split.filter(F.col("split") != "train")
+        .select(words_col(F.col("text")).alias("w"))
+        .select(F.explode(_gram_hashes_col(F.col("w"), n)).alias("gh"))
+        .distinct()
+    )
+
+
 def decontaminate_from(docs_split, n: int = N_CONTAM_GRAM):
     """Test-set decontamination over a ``(doc_id, text, split)`` frame:
     for every TRAIN doc, how many of its distinct hashed ``n``-grams
@@ -355,7 +373,7 @@ def decontaminate_from(docs_split, n: int = N_CONTAM_GRAM):
     g = docs_split.select("doc_id", "split", words_col(F.col("text")).alias("w")).select(
         "doc_id", "split", F.explode(_gram_hashes_col(F.col("w"), n)).alias("gh")
     )
-    holdout = g.filter(F.col("split") != "train").select("gh").distinct()
+    holdout = holdout_grams_df(docs_split, n)
     hits = (
         g.filter(F.col("split") == "train")
         .join(holdout, "gh")

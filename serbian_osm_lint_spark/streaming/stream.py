@@ -80,6 +80,55 @@ def stream_dedup_exact(spark, texts_path: str, out_dir: str, checkpoint_dir: str
     return len(batches)
 
 
+def stream_decontaminate(spark, train_path: str, holdout_grams, out_dir: str, checkpoint_dir: str):
+    """Incremental test-set decontamination — the stream-static shape a
+    continuously-ingesting pretraining pipeline runs: newly ARRIVED train
+    shards are checked against a FROZEN holdout (val/test) gram set.
+
+    ``holdout_grams`` is a static ``(gh)`` frame
+    (``operators.corpus.holdout_grams_df``), computed once before the
+    stream starts; each micro-batch explodes its docs' hashed 13-grams
+    and equi-joins the static set — per-doc results are exact because a
+    doc's grams never span micro-batches (file-granular arrivals), so
+    streamed flags are row-identical to the batch pass over the same
+    docs (tested). Returns micro-batches executed."""
+    from pyspark.sql import functions as F
+
+    from ..operators.corpus import N_CONTAM_GRAM, _gram_hashes_col
+    from ..operators.dedup import words_col
+
+    schema = "doc_id long, text string"
+    batches = []
+
+    def process_batch(batch_df, batch_id):
+        g = batch_df.select("doc_id", words_col(F.col("text")).alias("w")).select(
+            "doc_id", F.explode(_gram_hashes_col(F.col("w"), N_CONTAM_GRAM)).alias("gh")
+        )
+        hits = g.join(holdout_grams, "gh").groupBy("doc_id").agg(
+            F.count("*").alias("hits")
+        )
+        n = F.coalesce(F.col("hits"), F.lit(0)).cast("long")
+        flagged = batch_df.select("doc_id").join(hits, "doc_id", "left").select(
+            "doc_id",
+            n.alias("n_contaminated_grams"),
+            (n > 0).alias("is_contaminated"),
+        )
+        flagged.write.mode("append").parquet(os.path.join(out_dir, "flags"))
+        batches.append(batch_id)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # several micro-batches per pass
+        .parquet(train_path)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()
+    return len(batches)
+
+
 def stream_media_features(spark, payloads_path: str, out_dir: str, checkpoint_dir: str):
     """Streaming modality stage: the SAME Arrow ``mapInPandas`` feature
     extractor (:func:`..operators.media.media_features_from`) applied to

@@ -316,3 +316,45 @@ def test_streaming_media_features_equals_batch(spark, tmp_path):
     assert widths["d1"] == (40, 30) and widths["d3"] == (7, 9)  # real decode streamed
 
     assert stream.stream_media_features(spark, src, out, ckpt) == 0  # idempotent
+
+
+def test_streaming_decontaminate_equals_batch(spark, tmp_path):
+    """Stream-static decontamination: newly arrived train shards checked
+    against the frozen holdout gram set produce exactly the batch flags,
+    live positives included; a checkpoint re-run adds nothing."""
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark.operators import corpus
+    from serbian_osm_lint_spark.streaming import stream
+
+    docs = corpus.with_contamination_df(spark, SF_SMALL)
+    p = corpus.split_col(F.col("doc_id"))
+    split = (
+        F.when(p < corpus.TRAIN_PCT, F.lit("train"))
+        .when(p < corpus.VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    ds = docs.select("doc_id", "text", split.alias("split"))
+    train = ds.filter("split = 'train'").select("doc_id", "text")
+    holdout = corpus.holdout_grams_df(ds)
+
+    src = str(tmp_path / "train")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    train.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    assert stream.stream_decontaminate(spark, src, holdout, out, ckpt) >= 1
+    train.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    assert stream.stream_decontaminate(spark, src, holdout, out, ckpt) >= 1
+
+    streamed = {
+        r.doc_id: (r.n_contaminated_grams, r.is_contaminated)
+        for r in spark.read.parquet(os.path.join(out, "flags")).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_contaminated_grams, r.is_contaminated)
+        for r in corpus.decontaminate_from(ds).collect()
+    }
+    assert streamed == batch
+    assert any(v[1] for v in batch.values())  # live positives exercised
+
+    assert stream.stream_decontaminate(spark, src, holdout, out, ckpt) == 0
