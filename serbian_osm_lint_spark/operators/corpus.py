@@ -368,21 +368,30 @@ def decontaminate_from(docs_split, n: int = N_CONTAM_GRAM):
     stats; nothing in the plan requires the broadcast)."""
     from pyspark.sql import functions as F
 
+    train = docs_split.filter(F.col("split") == "train").select("doc_id", "text")
+    return contamination_flags_from(train, holdout_grams_df(docs_split, n), n)
+
+
+def contamination_flags_from(train_docs, holdout_grams, n: int = N_CONTAM_GRAM):
+    """Flag any ``(doc_id, text)`` subset of train docs against a frozen
+    holdout gram set — the unit of work shared by the batch pass
+    (:func:`decontaminate_from`), the streaming face
+    (``streaming.stream.stream_decontaminate``, per micro-batch), and
+    resumable bucket execution (``streaming.resume.run_resumable`` with
+    this as the ``process_fn`` body): a doc's grams never span subsets,
+    so per-subset results compose exactly."""
+    from pyspark.sql import functions as F
+
     from .dedup import words_col
 
-    g = docs_split.select("doc_id", "split", words_col(F.col("text")).alias("w")).select(
-        "doc_id", "split", F.explode(_gram_hashes_col(F.col("w"), n)).alias("gh")
+    g = train_docs.select("doc_id", words_col(F.col("text")).alias("w")).select(
+        "doc_id", F.explode(_gram_hashes_col(F.col("w"), n)).alias("gh")
     )
-    holdout = holdout_grams_df(docs_split, n)
-    hits = (
-        g.filter(F.col("split") == "train")
-        .join(holdout, "gh")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("hits"))
+    hits = g.join(holdout_grams, "gh").groupBy("doc_id").agg(
+        F.count("*").alias("hits")
     )
-    train = docs_split.filter(F.col("split") == "train").select("doc_id")
     n_cont = F.coalesce(F.col("hits"), F.lit(0)).cast("long")
-    return train.join(hits, "doc_id", "left").select(
+    return train_docs.select("doc_id").join(hits, "doc_id", "left").select(
         "doc_id",
         n_cont.alias("n_contaminated_grams"),
         (n_cont > 0).alias("is_contaminated"),

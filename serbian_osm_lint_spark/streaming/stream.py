@@ -92,27 +92,13 @@ def stream_decontaminate(spark, train_path: str, holdout_grams, out_dir: str, ch
     doc's grams never span micro-batches (file-granular arrivals), so
     streamed flags are row-identical to the batch pass over the same
     docs (tested). Returns micro-batches executed."""
-    from pyspark.sql import functions as F
-
-    from ..operators.corpus import N_CONTAM_GRAM, _gram_hashes_col
-    from ..operators.dedup import words_col
+    from ..operators.corpus import contamination_flags_from
 
     schema = "doc_id long, text string"
     batches = []
 
     def process_batch(batch_df, batch_id):
-        g = batch_df.select("doc_id", words_col(F.col("text")).alias("w")).select(
-            "doc_id", F.explode(_gram_hashes_col(F.col("w"), N_CONTAM_GRAM)).alias("gh")
-        )
-        hits = g.join(holdout_grams, "gh").groupBy("doc_id").agg(
-            F.count("*").alias("hits")
-        )
-        n = F.coalesce(F.col("hits"), F.lit(0)).cast("long")
-        flagged = batch_df.select("doc_id").join(hits, "doc_id", "left").select(
-            "doc_id",
-            n.alias("n_contaminated_grams"),
-            (n > 0).alias("is_contaminated"),
-        )
+        flagged = contamination_flags_from(batch_df, holdout_grams)
         flagged.write.mode("append").parquet(os.path.join(out_dir, "flags"))
         batches.append(batch_id)
 

@@ -358,3 +358,45 @@ def test_streaming_decontaminate_equals_batch(spark, tmp_path):
     assert any(v[1] for v in batch.values())  # live positives exercised
 
     assert stream.stream_decontaminate(spark, src, holdout, out, ckpt) == 0
+
+
+def test_resume_generalizes_to_corpus_op(spark, out_dir):
+    """The bucket-manifest resume machinery is operator-generic: the
+    decontamination flags run per hash bucket against the frozen holdout
+    set, die after 2 buckets, resume, and the final table equals the
+    single-shot batch pass."""
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark.operators import corpus
+    from serbian_osm_lint_spark.streaming import resume
+
+    docs = corpus.with_contamination_df(spark, SF_SMALL)
+    p = corpus.split_col(F.col("doc_id"))
+    split = (
+        F.when(p < corpus.TRAIN_PCT, F.lit("train"))
+        .when(p < corpus.VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    ds = docs.select("doc_id", "text", split.alias("split"))
+    train = ds.filter("split = 'train'").select("doc_id", "text")
+    holdout = corpus.holdout_grams_df(ds)
+
+    def flag_fn(spark_, subset):
+        return corpus.contamination_flags_from(subset, holdout)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        resume.run_resumable(spark, train, flag_fn, out_dir, n_buckets=4, fail_after=2)
+    assert len(resume.BucketManifest(os.path.join(out_dir, "_manifest")).done_buckets()) == 2
+
+    assert resume.run_resumable(spark, train, flag_fn, out_dir, n_buckets=4) == 2
+
+    resumed = {
+        r.doc_id: (r.n_contaminated_grams, r.is_contaminated)
+        for r in resume.read_result(spark, out_dir).collect()
+    }
+    single = {
+        r.doc_id: (r.n_contaminated_grams, r.is_contaminated)
+        for r in corpus.decontaminate_from(ds).collect()
+    }
+    assert resumed == single
+    assert any(v[1] for v in single.values())
