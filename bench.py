@@ -108,6 +108,9 @@ def main():
     def q_decontam():
         return corpus.decontaminate_df(spark, SF_DIR)
 
+    def q_vocab():
+        return corpus.vocab_topk_df(spark, SF_DIR)
+
     benches = {
         "lint_verdicts": q_lint,
         "point_in_serbia": q_pip,
@@ -121,6 +124,7 @@ def main():
         "asof_join": q_asof,
         "range_join": q_range,
         "decontaminate": q_decontam,
+        "vocab_topk": q_vocab,
     }
 
     timings = {}
