@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": lambda s, d: dedup.minhash_signatures_df(s, d),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs_df(s, d),
         "dedup_components": lambda s, d: dedup.dedup_components_df(s, d),
+        "dedup_components_multi": lambda s, d: dedup.dedup_components_multi_df(s, d),
         "simhash": lambda s, d: dedup.simhash_df(s, d),
         "simhash_near_dups": lambda s, d: dedup.simhash_near_dups_df(s, d),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs_df(s, d),
@@ -205,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": dedup.sql_minhash_signatures(),
         "minhash_lsh_pairs": dedup.sql_minhash_lsh_pairs(),
         "dedup_components": dedup.sql_dedup_components(),
+        "dedup_components_multi": dedup.sql_dedup_components_multi(),
         "simhash": dedup.sql_simhash(),
         "simhash_near_dups": dedup.sql_simhash_near_dups(),
         "ngram_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(),

@@ -816,3 +816,34 @@ def sql_dedup_components() -> str:
     return sql_components_over(
         f"SELECT doc_id_a, doc_id_b FROM ({_sql_lsh_verified_pairs(JACCARD_THRESHOLD)})"
     )
+
+
+def dedup_components_multi_df(spark, sf_dir: str):
+    """Multi-signal near-dup groups: connected components over the UNION
+    of the MinHash-LSH pair graph (word-3-gram Jaccard ≥ 0.7 — shared-
+    vocabulary duplicates) and the SimHash pair graph (hamming ≤ 3 —
+    small-edit duplicates). A production dedup keeps ONE doc per group
+    across ALL its signals, not one grouping per signal: two docs joined
+    by either signal must share a canonical, and a chain mixing signals
+    (A≈B by Jaccard, B≈C by simhash) collapses to one component.
+
+    Scale shape: both pair generators are bucketed equi-joins (band-key /
+    (band, bucket)) that never go all-pairs; the union is edge
+    concatenation (no shuffle of its own — duplicate edges are harmless
+    to the min-label fixpoint), and :func:`components_from` stays
+    O(log n) rounds in the size of the LARGEST merged component.
+    """
+    mh = minhash_lsh_pairs_df(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    sh = simhash_near_dup_pairs_from(simhash_df(spark, sf_dir)).select(
+        "doc_id_a", "doc_id_b"
+    )
+    return components_from(mh.unionByName(sh))
+
+
+def sql_dedup_components_multi() -> str:
+    """DuckDB twin of :func:`dedup_components_multi_df`: the same
+    recursive-CTE walk over the UNION (dedups) of both pair SELECTs."""
+    return sql_components_over(
+        f"SELECT doc_id_a, doc_id_b FROM ({_sql_lsh_verified_pairs(JACCARD_THRESHOLD)}) "
+        f"UNION SELECT doc_id_a, doc_id_b FROM ({sql_simhash_near_dups()})"
+    )
