@@ -223,3 +223,21 @@ def test_translit_dup_is_equi_join(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_multi_signal_edge_union_is_two_bucketed_equijoins(spark):
+    """The multi-signal component edge set must plan as a UNION of the
+    two bucketed pair generators (band-key / (band, bucket) equi-joins)
+    — adding a second signal must not introduce a cartesian or a shuffle
+    of the union itself."""
+    from serbian_osm_lint_spark.operators import dedup
+
+    mh = dedup.minhash_lsh_pairs_df(spark, SF_SMALL).select("doc_id_a", "doc_id_b")
+    sh = dedup.simhash_near_dup_pairs_from(dedup.simhash_df(spark, SF_SMALL)).select(
+        "doc_id_a", "doc_id_b"
+    )
+    plan = _plan(mh.unionByName(sh))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Union" in plan
+    joins = sum(plan.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert joins >= 2  # one bucketed equi-join per signal
