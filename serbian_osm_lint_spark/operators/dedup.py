@@ -461,7 +461,10 @@ def simhash_near_dup_pairs_from(sig):
     executes once per side (no common exchange to reuse) — measured
     CHEAPER at bench scales than a lazy ``localCheckpoint``
     materialization (2.5 s vs 6.5 s, r5: the checkpoint job + AQE-blind
-    ``ExistingRDD`` rescan cost more than the second UDF pass); the
+    ``ExistingRDD`` rescan cost more than the second UDF pass), and
+    ``.cache()`` on the signature frame was also measured a wash
+    (median 4.37 s vs 4.79 s plain at sf0.1, inside run-to-run spread —
+    not worth the executor-memory pressure); the
     100 TB shape writes the signature table once and pairs from the
     stored table instead."""
     from pyspark.sql import functions as F
