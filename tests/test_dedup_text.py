@@ -892,3 +892,28 @@ def test_sql_n_planes_raises_past_oracle_budget():
     with pytest.raises(Exception, match="MAX_ORACLE_PLANES"):
         con.execute(similarity.sql_n_planes("(SELECT * FROM range(3000000))"))
     con.close()
+
+
+def test_components_invariant_under_edge_partitioning(spark):
+    """The min-label fixpoint is unique, so components must be identical
+    no matter how the edge frame is partitioned or ordered — the property
+    that makes the operator safe to run after any upstream shuffle."""
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark.operators import dedup
+
+    edges = [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (5, 6), (100, 3)]
+    base = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    variants = [
+        base,
+        base.repartition(17, "doc_id_b"),
+        base.orderBy(F.desc("doc_id_a")).coalesce(1),
+    ]
+    results = [
+        sorted(
+            (r.doc_id, r.component_id, r.is_canonical)
+            for r in dedup.components_from(v).collect()
+        )
+        for v in variants
+    ]
+    assert results[0] == results[1] == results[2]
