@@ -120,7 +120,17 @@ def _mk_pipeline(name):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    ORDERING CONTRACT (VERDICT r5 item 1): the driver's correctness
+    artifact keeps only the FIRST 50 entries in insertion order, so every
+    *distinct* operator must be registered in the first 50 slots.
+    Alternate faces of already-gated operators (same semantics, different
+    topology or parameterization) go AFTER the sparql loop:
+    ``knn_dup_names_capped`` (skew-capped variant of ``knn_dup_names``)
+    and ``minhash_lsh_pairs_stored`` (stored-signature-table face of
+    ``minhash_lsh_pairs``). They still run in the local verify replay.
+    """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lint_verdicts": _q_lint_verdicts,
         "report_per_map": _q_report_per_map,
@@ -131,7 +141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_serbia": lambda s, d: spatial.point_in_serbia_df(s, _docs(s, d)),
         "cell_encode": lambda s, d: spatial.cell_encode_df(s, _docs(s, d)),
         "knn_dup_names": lambda s, d: spatial.knn_dup_names_df(s, _docs(s, d)),
-        "knn_dup_names_capped": lambda s, d: spatial.knn_dup_names_capped_df(s, _docs(s, d)),
         "translit_dup_names": lambda s, d: spatial.translit_dup_names_df(s, _docs(s, d)),
         "tile_assignment": lambda s, d: spatial.tile_assignment_df(s, _docs(s, d)),
         "cell_counts_salted": lambda s, d: spatial.cell_counts_salted_df(s, _docs(s, d)),
@@ -170,13 +179,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # F8/P10: Sophox binding parsers with malformed-row skip
         "parse_sophox_rows": lambda s, d: osm_parsers.parse_sophox_rows_df(s, d),
     }
-    for name in q29.ALL_PIPELINES:
-        q[f"sparql_{name}"] = _mk_pipeline(name)
     # C13 full suggestion/metadata model (flattened for the oracle; the
-    # struct-typed face is q29.multi_suggestion_df, covered in pytest)
+    # struct-typed face is q29.multi_suggestion_df, covered in pytest).
+    # Registered BEFORE the sparql loop so it stays inside the driver's
+    # 50-entry cap (it fell off the r5 artifact at position 51).
     q["sparql_multi_suggestion"] = lambda s, d: q29.multi_suggestion_flat_df(
         s, _docs(s, d)
     )
+    for name in q29.ALL_PIPELINES:
+        q[f"sparql_{name}"] = _mk_pipeline(name)
+    # ---- alternate faces of already-gated operators (positions 51+) ----
+    q["knn_dup_names_capped"] = lambda s, d: spatial.knn_dup_names_capped_df(
+        s, _docs(s, d)
+    )
+    q["minhash_lsh_pairs_stored"] = lambda s, d: dedup.minhash_lsh_pairs_stored_df(s, d)
     return q
 
 
@@ -192,7 +208,6 @@ def oracle_sql() -> dict[str, str]:
         "point_in_serbia": spatial.sql_point_in_serbia(d),
         "cell_encode": spatial.sql_cell_encode(d),
         "knn_dup_names": spatial.sql_knn_dup_names(d),
-        "knn_dup_names_capped": spatial.sql_knn_dup_names_capped(d),
         "translit_dup_names": spatial.sql_translit_dup_names(d),
         "tile_assignment": spatial.sql_tile_assignment(d),
         "cell_counts_salted": spatial.sql_cell_counts(d),
@@ -225,7 +240,9 @@ def oracle_sql() -> dict[str, str]:
         "proposed_fixes": fixes.sql_proposed_fixes(d, synth.sql_wiki_pages()),
         "parse_sophox_rows": osm_parsers.sql_parse_sophox_rows(),
     }
+    o["sparql_multi_suggestion"] = q29.sql_multi_suggestion(d)
     for name in q29.ALL_PIPELINES:
         o[f"sparql_{name}"] = q29.sql_pipeline(d, name)
-    o["sparql_multi_suggestion"] = q29.sql_multi_suggestion(d)
+    o["knn_dup_names_capped"] = spatial.sql_knn_dup_names_capped(d)
+    o["minhash_lsh_pairs_stored"] = dedup.sql_minhash_lsh_pairs_stored()
     return o

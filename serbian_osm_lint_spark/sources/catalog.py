@@ -96,6 +96,21 @@ def _cache_root() -> str:
         return tempfile.gettempdir()
 
 
+def cached_table(spark, key: str, build_df, partition_by=None):
+    """Materialize ``build_df()`` once under the cache root (keyed by
+    ``key``, which must embed every version/sf component that affects the
+    content) and return the stored-table scan. The parquet stand-in for
+    "compute at ingest, write to Iceberg, every consumer scans the stored
+    table" — the topology the 100 TB docstrings promise."""
+    path = os.path.join(_cache_root(), key)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_table(build_df(), path, partition_by=partition_by)
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+    return read_table(spark, path)
+
+
 def docs_table(spark, sf_dir: str):
     """The interleaved doc table as a *stored* table (parquet/Iceberg).
 

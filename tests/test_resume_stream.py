@@ -360,6 +360,41 @@ def test_streaming_decontaminate_equals_batch(spark, tmp_path):
     assert stream.stream_decontaminate(spark, src, holdout, out, ckpt) == 0
 
 
+def test_streaming_near_dup_pairs_equals_batch(spark, tmp_path):
+    """Streaming MinHash dedup (stream-static band join vs the frozen
+    stored signature table) emits exactly the batch face's pair set over
+    time-ordered arrivals, each pair exactly once (no cross-batch state);
+    a checkpoint re-run adds nothing."""
+    from serbian_osm_lint_spark.operators import dedup
+    from serbian_osm_lint_spark.streaming import stream
+
+    sig = dedup.minhash_sig_table(spark, SF_SMALL)
+    corpus_df = dedup.with_near_dups_df(spark, SF_SMALL)
+
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # time-ordered arrivals: originals first, then exact copies, then
+    # mutated copies (ids ascend 0 → 1e6 → 2e6), one file per wave
+    for lo, hi in ((0, 1000000), (1000000, 2000000), (2000000, 3000000)):
+        wave = corpus_df.filter(f"doc_id >= {lo} AND doc_id < {hi}")
+        wave.coalesce(1).write.mode("append").parquet(src)
+        assert stream.stream_near_dup_pairs(spark, src, sig, out, ckpt) >= 1
+
+    streamed = [
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in spark.read.parquet(os.path.join(out, "pairs")).collect()
+    ]
+    batch = sorted(
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs_df(spark, SF_SMALL).collect()
+    )
+    assert sorted(streamed) == batch and len(batch) > 0
+    assert len(streamed) == len(set(streamed))  # exactly-once, no dedup state
+
+    assert stream.stream_near_dup_pairs(spark, src, sig, out, ckpt) == 0
+
+
 def test_resume_generalizes_to_corpus_op(spark, out_dir):
     """The bucket-manifest resume machinery is operator-generic: the
     decontamination flags run per hash bucket against the frozen holdout
