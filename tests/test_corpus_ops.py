@@ -56,6 +56,13 @@ def test_training_shard_keep_gate(spark):
         assert src.keep or src.is_near_dup, src
     assert all(not r.keep for r in shorts if r.n_tokens_ws < corpus.MIN_TOKENS)
     assert all(r.split in ("train", "val", "test") for r in rows.values())
+    # ADVICE r5: LSH pairs run over fp-canonical reps only, so the
+    # identical-stub group is ONE rep (no m-clique): stubs are exact
+    # dups of the first stub, not a near-dup component, and every stub
+    # is still rejected (dup gate or length gate)
+    assert all(not r.is_near_dup for r in shorts)
+    assert sum(not r.is_dup for r in shorts) == 1
+    assert all(not r.keep for r in shorts)
 
 
 def test_corpus_split_deterministic_and_proportional(spark):

@@ -139,6 +139,19 @@ def test_decontaminate_is_gram_equi_join(spark):
     assert "element_at(split(" not in plan
 
 
+def test_vocab_topk_predistincts_without_expand(spark):
+    """r6 (VERDICT r5 "What's wrong" #3): the df count must be the
+    two-phase (token, doc_id) pre-distinct, not a countDistinct whose
+    Expand doubles the zipfian head's shuffled rows — the plan shows a
+    partial aggregate keyed on (token, doc_id) and NO Expand node."""
+    from serbian_osm_lint_spark.operators import corpus
+
+    plan = _plan(corpus.vocab_topk_df(spark, SF_SMALL))
+    assert "Expand" not in plan
+    assert "Keys [2]: [token" in plan  # the (token, doc_id) partial stage
+    assert "TakeOrderedAndProject" in plan  # top-k, not a full sort
+
+
 def test_ivf_probes_are_broadcast(spark):
     """IVF: the small probe side broadcasts; candidate generation is an
     equi-join on the centroid cell, never a NestedLoop scan."""
