@@ -74,6 +74,7 @@ def run_resumable(
     n_buckets: int | None = None,
     fail_after: int | None = None,
     max_concurrency: int = 4,
+    metrics_fn=None,
 ):
     """Process ``docs`` bucket-by-bucket with resume.
 
@@ -101,6 +102,12 @@ def run_resumable(
     thread pool: Spark schedules concurrent jobs fine, so the cluster
     isn't idle between bucket jobs; each bucket's manifest marker is
     still written only after ITS write completes (kill-safety unchanged).
+
+    ``metrics_fn(result_df) -> dict[name, Column]`` (optional) adds
+    operator-specific aggregates to each bucket's Observation — e.g. the
+    media quarantine count ``{"quarantined": F.count("decode_error")}``
+    — so a stage that quarantines rows records them in the bucket's
+    manifest JSON (VERDICT r5 item 7), still in the ONE write action.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -140,11 +147,21 @@ def run_resumable(
         try:
             subset = bucketed.filter(F.col(bucket_col) == b).drop(bucket_col)
             result = process_fn(spark, subset)
+            extra = metrics_fn(result) if metrics_fn is not None else {}
             obs = Observation()
-            observed = result.observe(obs, F.count(F.lit(1)).alias("rows"))
+            observed = result.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                *[c.alias(name) for name, c in extra.items()],
+            )
             path = os.path.join(out_dir, f"bucket={b}")
             observed.write.mode("overwrite").parquet(path)
-            manifest.mark_done(b, {"rows": obs.get["rows"], "bucket": b})
+            got = obs.get
+            manifest.mark_done(
+                b,
+                {"rows": got["rows"], "bucket": b}
+                | {name: got[name] for name in extra},
+            )
         finally:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
         return b

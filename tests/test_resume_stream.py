@@ -395,6 +395,49 @@ def test_streaming_near_dup_pairs_equals_batch(spark, tmp_path):
     assert stream.stream_near_dup_pairs(spark, src, sig, out, ckpt) == 0
 
 
+def test_resume_manifest_carries_quarantine_counts(spark, out_dir):
+    """VERDICT r5 item 7: a bucket whose media stage quarantines rows
+    records them in its manifest JSON — metrics_fn rides the bucket's
+    single write action (same Observation as the row count)."""
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark.operators import media
+    from serbian_osm_lint_spark.streaming import resume
+
+    corrupt = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + b"XXXX" + b"\x00" * 8
+    payloads = spark.createDataFrame(
+        [("bad", "img/corrupt.png", bytearray(corrupt))]
+        + [(f"ok{i}", f"img/fake{i}", bytearray(f"img/fake{i}".encode())) for i in range(8)],
+        "doc_id string, media_ref string, payload binary",
+    )
+
+    def feats_fn(spark_, subset):
+        return media.media_features_from(subset, on_error="quarantine")
+
+    n = resume.run_resumable(
+        spark,
+        payloads,
+        feats_fn,
+        out_dir,
+        n_buckets=4,
+        metrics_fn=lambda df: {"quarantined": F.count("decode_error")},
+    )
+    assert n == 4
+    manifest = resume.BucketManifest(os.path.join(out_dir, "_manifest")).done_buckets()
+    assert all("quarantined" in m for m in manifest.values())
+    assert sum(m["quarantined"] for m in manifest.values()) == 1
+    assert sum(m["rows"] for m in manifest.values()) == 9
+    # the corrupt payload's own bucket is the one that recorded it
+    bad_bucket = next(
+        r.b
+        for r in payloads.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(4)).alias("b")
+        ).collect()
+        if r.doc_id == "bad"
+    )
+    assert manifest[bad_bucket]["quarantined"] == 1
+
+
 def test_resume_generalizes_to_corpus_op(spark, out_dir):
     """The bucket-manifest resume machinery is operator-generic: the
     decontamination flags run per hash bucket against the frozen holdout
