@@ -125,13 +125,20 @@ def _update_asof(key, pdf_iter, state):
                 if r_ts is None or (row.ts_us, row.event_id) >= (r_ts, r_id):
                     r_ts, r_id, r_val = int(row.ts_us), int(row.event_id), float(row.value)
             else:
+                # out-of-order guard (ADVICE r5): checkpointed right
+                # state NEWER than this left row means a batch arrived
+                # with event times older than already-processed state —
+                # emit NULL asof fields (a detectable signal) instead of
+                # an impossible from-the-future enrichment. In-batch
+                # rows can't trip this: the sort replays rights first.
+                stale = r_ts is not None and r_ts > row.ts_us
                 out["event_id"].append(int(row.event_id))
                 out["user_id"].append(user_id)
                 out["ts_us"].append(int(row.ts_us))
                 out["value"].append(float(row.value))
-                out["asof_event_id"].append(r_id)
-                out["asof_ts_us"].append(r_ts)
-                out["asof_value"].append(r_val)
+                out["asof_event_id"].append(None if stale else r_id)
+                out["asof_ts_us"].append(None if stale else r_ts)
+                out["asof_value"].append(None if stale else r_val)
     if r_ts is not None:
         state.update((r_ts, r_id, r_val))
     yield pd.DataFrame(out)

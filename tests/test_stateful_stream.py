@@ -101,7 +101,9 @@ def test_stateful_asof_contract_needs_ordered_arrivals(spark, tmp_path):
     already ahead of the older batch's left events and the streamed
     output DIVERGES from batch — the operator requires ordered ingest
     (production: watermark + sorted arrival), it does not silently
-    absorb disorder."""
+    absorb disorder. With the r6 guard, disorder is DETECTABLE: the
+    affected left rows carry NULL asof fields rather than an enrichment
+    from the future (asof_ts_us > ts_us is impossible in the output)."""
     import os
 
     from pyspark.sql import functions as F
@@ -121,12 +123,19 @@ def test_stateful_asof_contract_needs_ordered_arrivals(spark, tmp_path):
     ev.filter(F.col("ts") < cutoff).coalesce(1).write.mode("append").parquet(src)
     stateful.stream_asof_join(spark, src, out, ckpt)
 
-    streamed = {
-        r.event_id: r.asof_event_id
-        for r in spark.read.parquet(os.path.join(out, "enriched")).collect()
-    }
+    enriched_rows = spark.read.parquet(os.path.join(out, "enriched")).collect()
+    streamed = {r.event_id: r.asof_event_id for r in enriched_rows}
     batch = {
         r.event_id: r.asof_event_id for r in events.asof_join_df(spark, SF_SMALL).collect()
     }
     assert set(streamed) == set(batch)  # same left events either way
-    assert any(streamed[e] != batch[e] for e in batch)  # but wrong partners
+    assert any(streamed[e] != batch[e] for e in batch)  # but disorder visible
+    # the guard: every divergence is a NULL-ed enrichment, never a match
+    # from the future
+    assert all(
+        r.asof_ts_us is None or r.asof_ts_us <= r.ts_us for r in enriched_rows
+    )
+    assert any(
+        r.asof_event_id is None and batch[r.event_id] is not None
+        for r in enriched_rows
+    )
