@@ -127,8 +127,29 @@ def fixture_payloads_df(spark):
 # ------------------------------------------------- expected rows (Python)
 # Each generator replays the EXACT per-payload branch of the corresponding
 # mapInPandas extractor on the fixture bytes, driver-side at SQL-authoring
-# time — so the twin literals can never drift from the Spark spec without
-# the oracle catching it.
+# time, so the twin literals track the Spark spec. Because that replay
+# calls the same parsers under test (ADVICE r5: a parser bug would appear
+# identically on both faces), every real-format parse is ALSO pinned at
+# authoring time against the independent constants below — the values the
+# containers were authored to carry. A parser regression now fails SQL
+# authoring itself, keeping the oracle rows independent of the code under
+# test.
+_PINNED_DIMS = {
+    "fixture_png": (640, 360),
+    "fixture_jpeg": (800, 600),
+    "fixture_gif": (320, 200),
+}
+_PINNED_WAV = (16000, 2, 16, 48000)  # rate, channels, bits, n_samples
+_PINNED_MP4 = (1280, 720, 7)  # width, height, sampled frame count
+
+
+def _pin(doc_id: str, got, want) -> None:
+    if got != want:
+        raise AssertionError(
+            f"fixture parser drift for {doc_id}: parsed {got}, authored {want}"
+        )
+
+
 def _feature_rows():
     import numpy as np
 
@@ -137,6 +158,8 @@ def _feature_rows():
     for doc_id, ref, payload in FIXTURES:
         digest = hashlib.md5(payload).digest()
         w, h = _decode_dims(payload, digest)
+        if doc_id in _PINNED_DIMS:
+            _pin(doc_id, (w, h), _PINNED_DIMS[doc_id])
         # np.round, not builtin round: replays the extractor's exact
         # float, bit-for-bit (the two can differ in the last ulp).
         feats = [float(np.round(digest[j] / 255.0, 6)) for j in range(FEATURE_DIM)]
@@ -157,6 +180,7 @@ def _frame_rows():
             if w == 0 or h == 0:
                 w, h = _decode_image_stub(digest)
             n_frames = max(1, min(64, int(dur_ms // 1000)))
+            _pin(doc_id, (w, h, n_frames), _PINNED_MP4)
         else:
             w, h = _decode_image_stub(digest)
             n_frames = 8 + digest[2] % 8
@@ -171,6 +195,7 @@ def _audio_rows():
     for doc_id, ref, payload in FIXTURES:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             rate, ch, bits, n = try_real_audio_probe(payload)
+            _pin(doc_id, (rate, ch, bits, n), _PINNED_WAV)
         else:
             rate, ch, bits, n = _audio_probe_stub(hashlib.md5(payload).digest())
         yield doc_id, ref, len(payload), rate, ch, bits, n, n * 1_000_000 // rate
