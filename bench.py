@@ -140,6 +140,11 @@ def main():
     def q_minhash_stored():
         return dedup.minhash_lsh_pairs_stored_df(spark, SF_DIR)
 
+    # r6: the ANN scale path — brute-force cosine is the linear baseline
+    # (7.3× at the 100× proxy); IVF is what a large corpus actually runs
+    def q_ann_ivf():
+        return similarity.ann_ivf_topk_df(spark, SF_DIR)
+
     benches = {
         "lint_verdicts": q_lint,
         "point_in_serbia": q_pip,
@@ -149,6 +154,7 @@ def main():
         "minhash_lsh_pairs": q_minhash,
         "minhash_pairs_stored": q_minhash_stored,
         "ann_cosine_topk": q_ann,
+        "ann_ivf_topk": q_ann_ivf,
         "simhash_near_dups": q_simhash_near,
         "media_features": q_media,
         "asof_join": q_asof,

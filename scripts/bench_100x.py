@@ -160,6 +160,7 @@ def main():
         "minhash_lsh_pairs": lambda: dedup.minhash_lsh_pairs_df(spark, out),
         "minhash_pairs_stored": lambda: dedup.minhash_lsh_pairs_stored_df(spark, out),
         "ann_cosine_topk": lambda: similarity.ann_cosine_topk_df(spark, out),
+        "ann_ivf_topk": lambda: similarity.ann_ivf_topk_df(spark, out),
         "simhash_near_dups": lambda: dedup.simhash_near_dups_df(spark, out),
         "media_features": lambda: media.extract_media_features_df(spark, docs),
         "asof_join": lambda: events.asof_join_df(spark, out),

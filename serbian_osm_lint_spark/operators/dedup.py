@@ -306,8 +306,18 @@ def verified_pairs_from_banded(banded, threshold: float, banded_b=None):
     left = banded.select(
         "band_key", F.col("doc_id").alias("doc_id_a"), F.col("shingles_h").alias("sh_a")
     )
-    right = (banded_b if banded_b is not None else banded).select(
-        "band_key", F.col("doc_id").alias("doc_id_b"), F.col("shingles_h").alias("sh_b")
+    # SHUFFLE_HASH: sort-merge on the band key sorts tens of millions of
+    # fat rows (12-long shingle array each) per side — measured at 8 M
+    # docs / 16 cores the sort GC-stalls and the join runs 3.7× slower
+    # than hash (89.5 s → 24.5 s, scripts/scaling_bench_stored_pairs.py).
+    # A per-partition hash build over the band buckets never sorts; AQE
+    # can still upgrade to broadcast when a side is small.
+    right = (
+        (banded_b if banded_b is not None else banded)
+        .select(
+            "band_key", F.col("doc_id").alias("doc_id_b"), F.col("shingles_h").alias("sh_b")
+        )
+        .hint("SHUFFLE_HASH")
     )
     jac = F.round(
         F.size(F.array_intersect("sh_a", "sh_b"))
@@ -413,14 +423,64 @@ def minhash_sig_table(spark, sf_dir: str):
     )
 
 
-def lsh_pairs_from_stored(spark, sf_dir: str, threshold: float = JACCARD_THRESHOLD):
-    """Near-dup pairs generated FROM the stored signature table: scan →
-    band-explode → one band-key shuffle → inline exact Jaccard on the
-    stored hashed-shingle sets. No text column is touched — the verified
-    pair set is byte-identical to the recompute face (same oracle SQL)."""
-    return verified_pairs_from_banded(
-        banded_sig_col(minhash_sig_table(spark, sf_dir)), threshold
+def verified_pairs_skinny_fetch(sig, threshold: float, sig_b=None):
+    """Candidate generation with a SKINNY band shuffle (r6): the band
+    self-join carries only (band_key, doc_id) — 16 bytes/row — and the
+    fat hashed-shingle sets are fetched BY doc_id for the few surviving
+    candidate pairs, via two equi-joins against the signature frame.
+
+    Why: the one-pass form (:func:`verified_pairs_from_banded`) shuffles
+    the 12-long shingle array through the band explode on BOTH sides —
+    4× the rows × ~10× the bytes. Measured at 8 M docs / 16 cores the
+    fat sort-merge GC-stalls (negative thread scaling); the skinny join
+    shuffles ~0.5 GB instead of ~5 GB and the shingle payload moves only
+    2 × n_docs rows (the doc_id fetch joins), restoring scaling. The
+    tradeoff is re-reading the signature frame three times — free for a
+    STORED table scan (column pruning gives each read only the columns
+    it needs), expensive for an inline recompute subtree, which is why
+    the recompute face keeps the one-pass form.
+
+    Same output contract: (doc_id_a, doc_id_b, jaccard ≥ threshold)."""
+    from pyspark.sql import functions as F
+
+    right_sig = sig_b if sig_b is not None else sig
+    a_band = sig.select(
+        F.col("doc_id").alias("doc_id_a"), F.explode(_band_keys_col()).alias("band_key")
     )
+    b_band = right_sig.select(
+        F.col("doc_id").alias("doc_id_b"), F.explode(_band_keys_col()).alias("band_key")
+    )
+    cand = (
+        a_band.join(b_band.hint("SHUFFLE_HASH"), "band_key")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    sh_a = sig.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles_h").alias("sh_a"))
+    sh_b = right_sig.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("shingles_h").alias("sh_b")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        6,
+    )
+    return (
+        cand.join(sh_a, "doc_id_a")
+        .join(sh_b, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_pairs_from_stored(spark, sf_dir: str, threshold: float = JACCARD_THRESHOLD):
+    """Near-dup pairs generated FROM the stored signature table: skinny
+    band-key shuffle over (band_key, doc_id), then shingle-set fetch +
+    exact Jaccard for the surviving candidates only (see
+    :func:`verified_pairs_skinny_fetch`). No text column is touched —
+    the verified pair set is byte-identical to the recompute face (same
+    oracle SQL)."""
+    return verified_pairs_skinny_fetch(minhash_sig_table(spark, sf_dir), threshold)
 
 
 def minhash_lsh_pairs_stored_df(spark, sf_dir: str):

@@ -32,6 +32,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE (r6): spark.sql.adaptive.coalescePartitions.initialPartitionNum
+        # was tried here (start wide, let AQE coalesce) to shrink the fat
+        # band-join sorts; A/B showed it costs 10-50% at bench scale and
+        # the real fixes were the SHUFFLE_HASH band join + skinny-fetch
+        # pair generation (operators/dedup.py) + the 32m G1 regions below,
+        # so it is deliberately NOT set.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -42,14 +48,22 @@ def get_spark(
         # (streaming/resume.py). Single-job workloads are unaffected.
         .config("spark.scheduler.mode", "FAIR")
     )
+    # 32m G1 regions: shuffle/sort buffers for fat array columns (the
+    # 12-long shingle sets) are ~32 MB humongous allocations against
+    # G1's default region size, and G1 handles them with GCLocker stalls
+    # that serialize executor threads — measured BISTABLE 18 s / 70 s
+    # runs of the same 8 M-doc pair join at 16 cores; with 32m regions
+    # the same job holds a steady ~25 s (r6 diagnosis).
+    g1 = "-XX:G1HeapRegionSize=32m"
     if emulate_executors:
         builder = builder.config(
             "spark.driver.memory", f"{max(2, int(1.25 * cpus))}g"
         ).config(
-            "spark.driver.extraJavaOptions", f"-XX:ActiveProcessorCount={cpus}"
+            "spark.driver.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={cpus} {g1}",
         )
     else:
         builder = builder.config(
             "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g")
-        )
+        ).config("spark.driver.extraJavaOptions", g1)
     return builder.getOrCreate()

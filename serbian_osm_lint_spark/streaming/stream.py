@@ -125,8 +125,11 @@ def stream_near_dup_pairs(
     story for the dedup family (exact dedup already streams).
 
     Each micro-batch computes its arrivals' signatures per-row (no
-    stream-side shuffle), band-explodes them, and runs the shared
-    two-sided verified-pair join with the static table on the a-side.
+    stream-side shuffle) and runs the shared two-sided skinny-fetch
+    verified-pair join (r6: the static side's band shuffle carries only
+    (band_key, doc_id); its fat shingle sets move only for the few
+    candidate pairs — the stored table is re-scanned with column
+    pruning instead of shuffling its arrays every micro-batch).
     The ``doc_id_a < doc_id_b`` filter makes emission exactly-once by
     construction: a pair appears only in the micro-batch where its
     larger id arrives (the smaller id is always present in the frozen
@@ -135,15 +138,14 @@ def stream_near_dup_pairs(
     accumulates in the state store. Returns batches executed."""
     from ..operators import dedup
 
-    static_banded = dedup.banded_sig_col(sig_table)
     thr = dedup.JACCARD_THRESHOLD if threshold is None else threshold
 
     schema = "doc_id long, text string"
     batches = []
 
     def process_batch(batch_df, batch_id):
-        arrivals = dedup.banded_sig_col(dedup._shingled_sig_from(batch_df))
-        pairs = dedup.verified_pairs_from_banded(static_banded, thr, banded_b=arrivals)
+        arrivals = dedup._shingled_sig_from(batch_df)
+        pairs = dedup.verified_pairs_skinny_fetch(sig_table, thr, sig_b=arrivals)
         pairs.write.mode("append").parquet(os.path.join(out_dir, "pairs"))
         batches.append(batch_id)
 
