@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _docs(s, d)
     )
     q["minhash_lsh_pairs_stored"] = lambda s, d: dedup.minhash_lsh_pairs_stored_df(s, d)
+    q["simhash_near_dups_stored"] = lambda s, d: dedup.simhash_near_dups_stored_df(s, d)
     return q
 
 
@@ -245,4 +246,5 @@ def oracle_sql() -> dict[str, str]:
         o[f"sparql_{name}"] = q29.sql_pipeline(d, name)
     o["knn_dup_names_capped"] = spatial.sql_knn_dup_names_capped(d)
     o["minhash_lsh_pairs_stored"] = dedup.sql_minhash_lsh_pairs_stored()
+    o["simhash_near_dups_stored"] = dedup.sql_simhash_near_dups_stored()
     return o

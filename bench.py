@@ -117,6 +117,11 @@ def main():
     def q_simhash_near():
         return dedup.simhash_near_dups_df(spark, SF_DIR)
 
+    dedup.simhash_sig_table(spark, SF_DIR)  # untimed write, like minhash
+
+    def q_simhash_stored():
+        return dedup.simhash_near_dups_stored_df(spark, SF_DIR)
+
     def q_media():
         return media.extract_media_features_df(spark, docs)
 
@@ -156,6 +161,7 @@ def main():
         "ann_cosine_topk": q_ann,
         "ann_ivf_topk": q_ann_ivf,
         "simhash_near_dups": q_simhash_near,
+        "simhash_stored": q_simhash_stored,
         "media_features": q_media,
         "asof_join": q_asof,
         "range_join": q_range,

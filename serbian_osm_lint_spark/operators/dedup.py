@@ -641,6 +641,39 @@ def simhash_near_dups_df(spark, sf_dir: str):
     return simhash_near_dup_pairs_from(simhash_df(spark, sf_dir))
 
 
+#: bump when the simhash derivation changes (invalidates stored tables).
+SIMHASH_SIG_VERSION = "v1"
+
+
+def simhash_sig_table(spark, sf_dir: str):
+    """The STORED SimHash table ``(doc_id, simhash)`` — the 100 TB shape
+    the recompute face's docstring promises: the pandas-UDF signature
+    pass (the dominant cost — it executes once per side under the AQE
+    broadcast self-join) runs once at ingest; every pair pass scans 16
+    bytes/doc. Mirrors :func:`minhash_sig_table`."""
+    from ..sources import catalog
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    return catalog.cached_table(
+        spark,
+        f"simhash_sigs_{key}_{catalog.SYNTH_VERSION}_{SIMHASH_SIG_VERSION}",
+        lambda: simhash_df(spark, sf_dir),
+    )
+
+
+def simhash_near_dups_stored_df(spark, sf_dir: str):
+    """Stored-table face of :func:`simhash_near_dups_df` — identical
+    output (same oracle SQL), zero Python-UDF work per pass. The rows
+    are already skinny (one int64), so unlike the MinHash path no
+    skinny-fetch split is needed — the band join itself is the right
+    plan over the stored scan."""
+    return simhash_near_dup_pairs_from(simhash_sig_table(spark, sf_dir))
+
+
+def sql_simhash_near_dups_stored() -> str:
+    return sql_simhash_near_dups()
+
+
 def sql_simhash_near_dups() -> str:
     mask = (1 << SIMHASH_BAND_BITS) - 1
     return f"""

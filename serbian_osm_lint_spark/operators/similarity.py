@@ -230,6 +230,15 @@ def _centroid(c: int) -> list[float]:
     return [_lcg_weight(1000 + c, d) for d in range(EMB_DIM)]
 
 
+#: driver-side codebook memo, keyed by (embeddings path, footer row
+#: count): the codebook is derived deterministically from the corpus, so
+#: re-deriving it per query only repeats the same scan + 16-row collect.
+#: Production materializes the codebook once at build time; the memo is
+#: the in-process equivalent, and the row-count key (footer metadata, no
+#: Spark job) invalidates it if the table changes (r6).
+_CODEBOOK_CACHE: dict = {}
+
+
 def data_centroids(spark, sf_dir: str) -> list[list[float]]:
     """IVF 'training': :data:`N_CENTROIDS` DATA-DERIVED centroids
     (VERDICT r4 item 8) — per md5(vec_id) hash stratum, the corpus vector
@@ -239,11 +248,22 @@ def data_centroids(spark, sf_dir: str) -> list[list[float]]:
 
     Cost shape: one column-pruned agg (``min_by`` partial-aggregates
     map-side, the shuffle is ≤ :data:`N_CENTROIDS` rows/partition) and a
-    16-row driver collect — the codebook every IVF build materializes.
+    16-row driver collect — the codebook every IVF build materializes,
+    memoized per (path, row count) across queries (see
+    :data:`_CODEBOOK_CACHE`).
     A corpus too small to fill all strata raises (mirrored by the twin's
     ``error()`` guard): IVF over a handful of vectors is a spec error,
     and a silent LCG fallback would diverge from the SQL twin."""
+    import os
+
     from pyspark.sql import functions as F
+
+    from ..sources.catalog import parquet_row_count
+
+    path = f"{sf_dir}/embeddings.parquet"
+    cache_key = (os.path.normpath(path), parquet_row_count(path))
+    if cache_key in _CODEBOOK_CACHE:
+        return _CODEBOOK_CACHE[cache_key]
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _to_double(F.col("embedding")).alias("v")
@@ -265,7 +285,9 @@ def data_centroids(spark, sf_dir: str) -> list[list[float]]:
             f"corpus fills only {len(cents)}/{N_CENTROIDS} centroid strata — "
             f"too small for IVF"
         )
-    return [cents[c] for c in range(N_CENTROIDS)]
+    out = [cents[c] for c in range(N_CENTROIDS)]
+    _CODEBOOK_CACHE[cache_key] = out
+    return out
 
 
 def _norms_of(centroids: list[list[float]]) -> list[float]:

@@ -56,6 +56,23 @@ def test_stored_sig_table_reproduces_recompute_pairs(spark):
     assert "split(" not in plan
 
 
+def test_simhash_stored_reproduces_recompute_pairs(spark):
+    """The stored SimHash table face yields the exact pair set of the
+    recompute face, with zero Python-UDF work in the pair plan."""
+    from serbian_osm_lint_spark.operators import dedup
+
+    recompute = sorted(
+        tuple(r) for r in dedup.simhash_near_dups_df(spark, SF_SMALL).collect()
+    )
+    stored_df = dedup.simhash_near_dups_stored_df(spark, SF_SMALL)
+    stored = sorted(tuple(r) for r in stored_df.collect())
+    assert stored == recompute and len(stored) > 0
+    plan = stored_df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "filescan" in plan or "batchscan" in plan
+    assert "pythonudf" not in plan and "arroweval" not in plan
+    assert "text" not in plan
+
+
 def test_simhash_stability_under_mutation(spark):
     from serbian_osm_lint_spark.operators import dedup
 
