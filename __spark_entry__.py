@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["minhash_lsh_pairs_stored"] = lambda s, d: dedup.minhash_lsh_pairs_stored_df(s, d)
     q["simhash_near_dups_stored"] = lambda s, d: dedup.simhash_near_dups_stored_df(s, d)
+    q["dedup_components_multi_stored"] = lambda s, d: dedup.dedup_components_multi_stored_df(s, d)
     return q
 
 
@@ -247,4 +248,5 @@ def oracle_sql() -> dict[str, str]:
     o["knn_dup_names_capped"] = spatial.sql_knn_dup_names_capped(d)
     o["minhash_lsh_pairs_stored"] = dedup.sql_minhash_lsh_pairs_stored()
     o["simhash_near_dups_stored"] = dedup.sql_simhash_near_dups_stored()
+    o["dedup_components_multi_stored"] = dedup.sql_dedup_components_multi_stored()
     return o

@@ -1025,3 +1025,23 @@ def sql_dedup_components_multi() -> str:
         f"SELECT doc_id_a, doc_id_b FROM ({_sql_lsh_verified_pairs(JACCARD_THRESHOLD)}) "
         f"UNION SELECT doc_id_a, doc_id_b FROM ({sql_simhash_near_dups()})"
     )
+
+
+def dedup_components_multi_stored_df(spark, sf_dir: str):
+    """The full ingest-once dedup pipeline (r6): multi-signal components
+    where BOTH pair generators read their STORED signature tables —
+    MinHash via skinny-fetch over :func:`minhash_sig_table`, SimHash
+    over :func:`simhash_sig_table`. Between ingest (two signature
+    writes) and the component fixpoint, no text is re-read and no
+    Python UDF runs — the steady-state topology a 10^12-doc dedup
+    service runs per pass. Output identical to the recompute face
+    (same oracle SQL)."""
+    mh = lsh_pairs_from_stored(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    sh = simhash_near_dup_pairs_from(simhash_sig_table(spark, sf_dir)).select(
+        "doc_id_a", "doc_id_b"
+    )
+    return components_from(mh.unionByName(sh))
+
+
+def sql_dedup_components_multi_stored() -> str:
+    return sql_dedup_components_multi()
