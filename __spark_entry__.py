@@ -128,8 +128,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Alternate faces of already-gated operators (same semantics, different
     topology or parameterization) go AFTER the sparql loop:
     ``knn_dup_names_capped`` (skew-capped variant of ``knn_dup_names``)
-    and ``minhash_lsh_pairs_stored`` (stored-signature-table face of
-    ``minhash_lsh_pairs``). They still run in the local verify replay.
+    and the stored-table faces. They still run in the local verify replay.
+
+    The gate is FROZEN as an explicit literal in
+    ``tests/test_entry_registry.py::FROZEN_50`` (VERDICT r6 item 3): any
+    accidental insertion/reorder of the first 50 slots fails that test
+    loudly instead of silently dropping an operator from the artifact.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lint_verdicts": _q_lint_verdicts,
@@ -195,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh_pairs_stored"] = lambda s, d: dedup.minhash_lsh_pairs_stored_df(s, d)
     q["simhash_near_dups_stored"] = lambda s, d: dedup.simhash_near_dups_stored_df(s, d)
     q["dedup_components_multi_stored"] = lambda s, d: dedup.dedup_components_multi_stored_df(s, d)
+    q["ann_ivf_topk_stored"] = lambda s, d: similarity.ann_ivf_topk_stored_df(s, d)
     return q
 
 
@@ -249,4 +254,5 @@ def oracle_sql() -> dict[str, str]:
     o["minhash_lsh_pairs_stored"] = dedup.sql_minhash_lsh_pairs_stored()
     o["simhash_near_dups_stored"] = dedup.sql_simhash_near_dups_stored()
     o["dedup_components_multi_stored"] = dedup.sql_dedup_components_multi_stored()
+    o["ann_ivf_topk_stored"] = similarity.sql_ann_ivf_topk_stored()
     return o

@@ -150,6 +150,8 @@ def main():
     docs = catalog.docs_table(spark, out)  # untimed materialization/scan warm
     n_docs = docs.count()
     dedup.minhash_sig_table(spark, out)  # untimed, like bench.py
+    dedup.simhash_sig_table(spark, out)  # untimed ingest write (r7)
+    similarity.ivf_assignment_table(spark, out)  # untimed ingest write (r7)
 
     benches = {
         "lint_verdicts": lambda: lint_pipeline.build_verdicts(spark, out),
@@ -161,7 +163,12 @@ def main():
         "minhash_pairs_stored": lambda: dedup.minhash_lsh_pairs_stored_df(spark, out),
         "ann_cosine_topk": lambda: similarity.ann_cosine_topk_df(spark, out),
         "ann_ivf_topk": lambda: similarity.ann_ivf_topk_df(spark, out),
+        "ann_ivf_topk_stored": lambda: similarity.ann_ivf_topk_stored_df(spark, out),
         "simhash_near_dups": lambda: dedup.simhash_near_dups_df(spark, out),
+        "simhash_stored": lambda: dedup.simhash_near_dups_stored_df(spark, out),
+        "dedup_components_multi_stored": lambda: dedup.dedup_components_multi_stored_df(
+            spark, out
+        ),
         "media_features": lambda: media.extract_media_features_df(spark, docs),
         "asof_join": lambda: events.asof_join_df(spark, out),
         "range_join": lambda: events.range_join_df(spark, out),
@@ -182,6 +189,57 @@ def main():
         timings[name] = round(statistics.median(runs), 3)
         samples[name] = runs
         print(f"# {name}: {timings[name]}s {runs}", file=sys.stderr)
+
+    # streamed near-dup wave (VERDICT r6 item 6): 5 k novel arrivals in 3
+    # micro-batches against a signature store seeded with the FULL 550 k-doc
+    # corpus — surfaces any per-micro-batch driver cost that the batch
+    # queries amortize. Each run gets a fresh store (the seed partition is a
+    # symlink to the cached signature table — no copy), fresh checkpoint.
+    import shutil
+    import tempfile
+
+    from serbian_osm_lint_spark import synth
+    from serbian_osm_lint_spark.streaming import stream
+
+    seed_src = os.path.join(catalog._cache_root(), dedup.minhash_sig_key(out))
+    assert os.path.exists(os.path.join(seed_src, "_SUCCESS")), seed_src
+    arrivals_dir = os.path.join(catalog._cache_root(), "stream_wave_arrivals_v1")
+    if not os.path.exists(os.path.join(arrivals_dir, "_WAVE_READY")):
+        from pyspark.sql import functions as F
+
+        wave = synth.texts_range_df(spark, 5_000).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+        for i in range(3):
+            wave.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(arrivals_dir)
+        open(os.path.join(arrivals_dir, "_WAVE_READY"), "w").close()
+
+    wave_runs = []
+    for _ in range(N_RUNS):
+        scratch = tempfile.mkdtemp(prefix="wave_", dir=catalog._cache_root())
+        sig_dir = os.path.join(scratch, "sigs")
+        os.makedirs(sig_dir)
+        os.symlink(seed_src, os.path.join(sig_dir, "batch_id=-1"))
+        t0 = time.perf_counter()
+        n = stream.stream_near_dup_pairs_incremental(
+            spark,
+            arrivals_dir,
+            sig_dir,
+            os.path.join(scratch, "out"),
+            os.path.join(scratch, "ckpt"),
+        )
+        wave_runs.append(round(time.perf_counter() - t0, 3))
+        assert n == 3, f"expected 3 micro-batches, got {n}"
+        shutil.rmtree(scratch, ignore_errors=True)
+    timings["stream_near_dup_wave"] = round(statistics.median(wave_runs), 3)
+    samples["stream_near_dup_wave"] = wave_runs
+    print(
+        f"# stream_near_dup_wave: {timings['stream_near_dup_wave']}s {wave_runs}",
+        file=sys.stderr,
+    )
+
     calib_after = bench.calibrate(spark)
     contended = max(calib_before, calib_after) > bench.CONTENDED_FACTOR * bench.CALIB_QUIET_S
 

@@ -71,6 +71,40 @@ from ..functions.text import WS_SPLIT_RE  # noqa: E402
 #: derives the hyperplane count from.
 TARGET_BUCKET_SIZE = 32
 
+#: planted-dup corpus derivation constants (:func:`with_near_dups_df` and
+#: its SQL twin read these — one definition, two engines).
+EXACT_COPY_MOD = 7
+EXACT_COPY_OFFSET = 1_000_000
+MUTATED_COPY_MOD = 10
+MUTATED_COPY_OFFSET = 2_000_000
+MUTATION_SUFFIX = " zz_mutation"
+SHINGLE_WIDTH = 3
+
+
+def _derivation_tag(*parts) -> str:
+    import hashlib
+
+    return hashlib.md5("|".join(map(str, parts)).encode()).hexdigest()[:8]
+
+
+#: content tag folded into every stored-signature cache key (ADVICE r6):
+#: the corpus-mutation constants and the shingle/tokenizer spec are PART
+#: of the key, so editing any of them invalidates on-disk tables without
+#: a manual version bump. SIG_VERSION / SIMHASH_SIG_VERSION remain for
+#: derivation changes these constants cannot see (e.g. the md5-slice
+#: layout inside :func:`_shingled_sig_from`) — bump them for those.
+CORPUS_TAG = _derivation_tag(
+    EXACT_COPY_MOD,
+    EXACT_COPY_OFFSET,
+    MUTATED_COPY_MOD,
+    MUTATED_COPY_OFFSET,
+    MUTATION_SUFFIX,
+    SHINGLE_WIDTH,
+    WS_SPLIT_RE,
+    N_HASHES,
+    N_BANDS,
+)
+
 def n_planes_for(n_vectors: int) -> int:
     """Hyperplane count for ~:data:`TARGET_BUCKET_SIZE` vectors/bucket:
     ``ceil(log2(n / target))``. At 10^10 vectors this yields ~28 planes —
@@ -97,14 +131,14 @@ def with_near_dups_df(spark, sf_dir: str):
         .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     )
     exact = (
-        docs.filter(F.col("doc_id") % 7 == 0)
-        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        docs.filter(F.col("doc_id") % EXACT_COPY_MOD == 0)
+        .select((F.col("doc_id") + EXACT_COPY_OFFSET).alias("doc_id"), "text")
     )
     mutated = (
-        docs.filter(F.col("doc_id") % 10 == 0)
+        docs.filter(F.col("doc_id") % MUTATED_COPY_MOD == 0)
         .select(
-            (F.col("doc_id") + 2000000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zz_mutation")).alias("text"),
+            (F.col("doc_id") + MUTATED_COPY_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(MUTATION_SUFFIX)).alias("text"),
         )
     )
     return docs.unionByName(exact).unionByName(mutated)
@@ -113,9 +147,11 @@ def with_near_dups_df(spark, sf_dir: str):
 def sql_with_near_dups() -> str:
     return (
         "SELECT doc_id, text FROM documents "
-        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0 "
-        "UNION ALL SELECT doc_id + 2000000 AS doc_id, text || ' zz_mutation' AS text "
-        "FROM documents WHERE doc_id % 10 = 0"
+        f"UNION ALL SELECT doc_id + {EXACT_COPY_OFFSET} AS doc_id, text "
+        f"FROM documents WHERE doc_id % {EXACT_COPY_MOD} = 0 "
+        f"UNION ALL SELECT doc_id + {MUTATED_COPY_OFFSET} AS doc_id, "
+        f"text || '{MUTATION_SUFFIX}' AS text "
+        f"FROM documents WHERE doc_id % {MUTATED_COPY_MOD} = 0"
     )
 
 
@@ -310,8 +346,11 @@ def verified_pairs_from_banded(banded, threshold: float, banded_b=None):
     # fat rows (12-long shingle array each) per side — measured at 8 M
     # docs / 16 cores the sort GC-stalls and the join runs 3.7× slower
     # than hash (89.5 s → 24.5 s, scripts/scaling_bench_stored_pairs.py).
-    # A per-partition hash build over the band buckets never sorts; AQE
-    # can still upgrade to broadcast when a side is small.
+    # A per-partition hash build over the band buckets never sorts. Note
+    # (ADVICE r6): AQE replanning HONORS explicit strategy hints, so this
+    # join stays shuffle-hash even when one side would fit the broadcast
+    # threshold — acceptable here because a shuffle-hash over a tiny side
+    # is already cheap, and the hint's win at scale is what matters.
     right = (
         (banded_b if banded_b is not None else banded)
         .select(
@@ -398,6 +437,16 @@ def sql_minhash_lsh_pairs() -> str:
 SIG_VERSION = "v1"
 
 
+def minhash_sig_key(sf_dir: str) -> str:
+    """Cache key of the stored MinHash signature table for ``sf_dir`` —
+    one definition, shared by the builder and any script that needs the
+    on-disk path (e.g. the 100×-proxy stream seed)."""
+    from ..sources import catalog
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    return f"minhash_sigs_{key}_{catalog.SYNTH_VERSION}_{SIG_VERSION}_{CORPUS_TAG}"
+
+
 def minhash_sig_table(spark, sf_dir: str):
     """The STORED MinHash signature table ``(doc_id, shingles_h,
     sig_0..sig_7)`` — signatures computed once at ingest, written via
@@ -415,15 +464,14 @@ def minhash_sig_table(spark, sf_dir: str):
     """
     from ..sources import catalog
 
-    key = os.path.basename(os.path.normpath(sf_dir))
     return catalog.cached_table(
         spark,
-        f"minhash_sigs_{key}_{catalog.SYNTH_VERSION}_{SIG_VERSION}",
+        minhash_sig_key(sf_dir),
         lambda: _shingled_sig_from(with_near_dups_df(spark, sf_dir)),
     )
 
 
-def verified_pairs_skinny_fetch(sig, threshold: float, sig_b=None):
+def verified_pairs_skinny_fetch(sig, threshold: float, sig_b=None, any_order: bool = False):
     """Candidate generation with a SKINNY band shuffle (r6): the band
     self-join carries only (band_key, doc_id) — 16 bytes/row — and the
     fat hashed-shingle sets are fetched BY doc_id for the few surviving
@@ -440,6 +488,14 @@ def verified_pairs_skinny_fetch(sig, threshold: float, sig_b=None):
     it needs), expensive for an inline recompute subtree, which is why
     the recompute face keeps the one-pass form.
 
+    ``any_order=False`` (default) keeps pairs whose SMALLER id is on the
+    a-side (``doc_id_a < doc_id_b``) — correct for the self-join and for
+    two-sided calls whose b-side is guaranteed to hold the larger member.
+    ``any_order=True`` accepts a match in EITHER orientation and
+    canonicalizes to ``(min, max)`` — what the incremental streaming face
+    needs, where a pair's smaller member may be the one that arrives last
+    (``..streaming.stream.stream_near_dup_pairs_incremental``).
+
     Same output contract: (doc_id_a, doc_id_b, jaccard ≥ threshold)."""
     from pyspark.sql import functions as F
 
@@ -450,14 +506,21 @@ def verified_pairs_skinny_fetch(sig, threshold: float, sig_b=None):
     b_band = right_sig.select(
         F.col("doc_id").alias("doc_id_b"), F.explode(_band_keys_col()).alias("band_key")
     )
-    cand = (
-        a_band.join(b_band.hint("SHUFFLE_HASH"), "band_key")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b")
-        .distinct()
-    )
+    raw = a_band.join(b_band.hint("SHUFFLE_HASH"), "band_key")
+    if any_order:
+        oriented = raw.filter(F.col("doc_id_a") != F.col("doc_id_b")).select(
+            F.least("doc_id_a", "doc_id_b").alias("doc_id_a"),
+            F.greatest("doc_id_a", "doc_id_b").alias("doc_id_b"),
+        )
+    else:
+        oriented = raw.filter(F.col("doc_id_a") < F.col("doc_id_b")).select(
+            "doc_id_a", "doc_id_b"
+        )
+    cand = oriented.distinct()
     sh_a = sig.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles_h").alias("sh_a"))
-    sh_b = right_sig.select(
+    # after any_order canonicalization either member may be a doc that is
+    # only in the a-side frame, so the b-fetch must also hit the full frame
+    sh_b = (sig if any_order else right_sig).select(
         F.col("doc_id").alias("doc_id_b"), F.col("shingles_h").alias("sh_b")
     )
     jac = F.round(
@@ -481,6 +544,42 @@ def lsh_pairs_from_stored(spark, sf_dir: str, threshold: float = JACCARD_THRESHO
     the verified pair set is byte-identical to the recompute face (same
     oracle SQL)."""
     return verified_pairs_skinny_fetch(minhash_sig_table(spark, sf_dir), threshold)
+
+
+def resumable_lsh_pairs(
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    n_buckets: int = 8,
+    fail_after: int | None = None,
+):
+    """RESUMABLE near-dup pair generation (VERDICT r6 item 8): the
+    bucket-manifest resume machinery (:func:`..streaming.resume.
+    run_resumable`) composed with the stored-signature-table pair join.
+
+    The pair space is partitioned by the hash bucket of the LARGER
+    member: each bucket job runs the skinny-fetch band join with a-side =
+    the full stored table and b-side = that bucket's signatures, and the
+    ``doc_id_a < doc_id_b`` filter means pair (a, b) is produced by
+    exactly ONE bucket — bucket(b). The union over buckets is the full
+    verified pair set with no duplicates, so a killed 10^12-doc pair job
+    resumes from the manifest: completed buckets are skipped, each
+    bucket's output is an idempotent overwrite, and per-bucket row counts
+    ride the write's Observation into the manifest (lineage + metrics).
+
+    Returns the number of buckets processed this run; read the final pair
+    set with :func:`..streaming.resume.read_result`."""
+    from ..streaming import resume
+
+    sig = minhash_sig_table(spark, sf_dir)
+
+    def pairs_fn(spark_, subset):
+        return verified_pairs_skinny_fetch(sig, threshold, sig_b=subset)
+
+    return resume.run_resumable(
+        spark, sig, pairs_fn, out_dir, n_buckets=n_buckets, fail_after=fail_after
+    )
 
 
 def minhash_lsh_pairs_stored_df(spark, sf_dir: str):
@@ -656,7 +755,7 @@ def simhash_sig_table(spark, sf_dir: str):
     key = os.path.basename(os.path.normpath(sf_dir))
     return catalog.cached_table(
         spark,
-        f"simhash_sigs_{key}_{catalog.SYNTH_VERSION}_{SIMHASH_SIG_VERSION}",
+        f"simhash_sigs_{key}_{catalog.SYNTH_VERSION}_{SIMHASH_SIG_VERSION}_{CORPUS_TAG}",
         lambda: simhash_df(spark, sf_dir),
     )
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import functools
 import os
+import shutil
+import time
 
 
 @functools.lru_cache(maxsize=1)
@@ -96,18 +98,62 @@ def _cache_root() -> str:
         return tempfile.gettempdir()
 
 
-def cached_table(spark, key: str, build_df, partition_by=None):
+def cached_table(spark, key: str, build_df, partition_by=None, wait_timeout_s=900):
     """Materialize ``build_df()`` once under the cache root (keyed by
     ``key``, which must embed every version/sf component that affects the
-    content) and return the stored-table scan. The parquet stand-in for
-    "compute at ingest, write to Iceberg, every consumer scans the stored
-    table" — the topology the 100 TB docstrings promise."""
+    content — see e.g. ``dedup.CORPUS_TAG``, which folds the corpus-
+    derivation constants into signature-table keys so editing them can't
+    serve a stale table) and return the stored-table scan. The parquet
+    stand-in for "compute at ingest, write to Iceberg, every consumer
+    scans the stored table" — the topology the 100 TB docstrings promise.
+
+    Concurrency (VERDICT r6 item 5): the build lands in a process-private
+    temp directory and is atomically ``rename``d into place, so a reader
+    can never scan a half-written table; an ``O_EXCL`` lockfile elects ONE
+    builder across concurrent threads/processes — losers wait for the
+    winner's ``_SUCCESS`` marker instead of double-building (with Iceberg
+    jars this whole dance is the catalog's atomic snapshot commit).
+    """
     path = os.path.join(_cache_root(), key)
     marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        write_table(build_df(), path, partition_by=partition_by)
-        if not os.path.exists(marker):
-            open(marker, "w").close()
+    if os.path.exists(marker):
+        return read_table(spark, path)
+    lock = path + ".lock"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(os.getpid()))
+        is_builder = True
+    except FileExistsError:
+        is_builder = False
+    if is_builder:
+        try:
+            if not os.path.exists(marker):  # may have landed while we locked
+                tmp = f"{path}.tmp.{os.getpid()}"
+                shutil.rmtree(tmp, ignore_errors=True)
+                write_table(build_df(), tmp, partition_by=partition_by)
+                # partitioned writes emit no top-level _SUCCESS under some
+                # committers; stamp one INSIDE the temp dir, before the
+                # rename publishes it — the marker and the data appear
+                # together or not at all.
+                tmp_marker = os.path.join(tmp, "_SUCCESS")
+                if not os.path.exists(tmp_marker):
+                    open(tmp_marker, "w").close()
+                # debris from a pre-atomic version / crashed writer
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(tmp, path)
+        finally:
+            os.unlink(lock)
+    else:
+        deadline = time.monotonic() + wait_timeout_s
+        while not os.path.exists(marker):
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"timed out waiting for cached table {path} from the "
+                    f"lock holder; if no builder process is alive the lock "
+                    f"file {lock} is stale — remove it and retry"
+                )
+            time.sleep(0.05)
     return read_table(spark, path)
 
 
@@ -132,10 +178,7 @@ def docs_table(spark, sf_dir: str):
 
     from .. import synth
 
-    key = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(_cache_root(), f"docs_{key}_{SYNTH_VERSION}")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    def build():
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         bucketed = synth.docs_df(spark, sf_dir).withColumn(
             "bucket_id", F.pmod(F.xxhash64("doc_id"), F.lit(N_DOC_BUCKETS))
@@ -143,16 +186,12 @@ def docs_table(spark, sf_dir: str):
         # repartition on doc_id (not the bucket): each bucket directory
         # gets ~n_parts files, so scans keep full task parallelism — one
         # file per bucket would cap CPU-heavy downstream ops at 8 tasks.
-        write_table(
-            bucketed.repartition(n_parts, "doc_id"),
-            path,
-            partition_by=["bucket_id"],
-        )
-        # partitioned writes emit no top-level _SUCCESS under some
-        # committers; stamp one explicitly so the cache check is stable.
-        if not os.path.exists(marker):
-            open(marker, "w").close()
-    return read_table(spark, path)
+        return bucketed.repartition(n_parts, "doc_id")
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    return cached_table(
+        spark, f"docs_{key}_{SYNTH_VERSION}", build, partition_by=["bucket_id"]
+    )
 
 
 def dims_tables(spark, sf_dir: str):
@@ -165,8 +204,11 @@ def dims_tables(spark, sf_dir: str):
         ("wiki", synth.wiki_pages_df),
         ("wd", synth.wikidata_items_df),
     ):
-        path = os.path.join(_cache_root(), f"{name}_{key}_{SYNTH_VERSION}")
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            write_table(builder(spark, sf_dir), path)
-        out.append(read_table(spark, path))
+        out.append(
+            cached_table(
+                spark,
+                f"{name}_{key}_{SYNTH_VERSION}",
+                lambda builder=builder: builder(spark, sf_dir),
+            )
+        )
     return tuple(out)

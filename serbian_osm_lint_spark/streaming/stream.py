@@ -14,6 +14,19 @@ from __future__ import annotations
 import os
 
 
+def write_batch_idempotent(batch_df, out_dir: str, batch_id: int) -> None:
+    """Retry-safe foreachBatch sink (ADVICE r6): each micro-batch lands in
+    its own ``batch_id=<id>`` subdirectory with ``overwrite``, so a batch
+    replayed after a sink failure REPLACES its own output instead of
+    double-appending (a plain ``mode("append")`` sink is exactly-once only
+    absent failures). Readers scan the parent directory; partition
+    discovery surfaces ``batch_id`` as an extra column, harmless to
+    named-column consumers."""
+    batch_df.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={batch_id}")
+    )
+
+
 def stream_lint_verdicts(spark, docs_path: str, out_dir: str, checkpoint_dir: str, wiki, wd):
     """Run the lint pipeline incrementally over ``docs_path`` (parquet dir).
 
@@ -132,10 +145,21 @@ def stream_near_dup_pairs(
     pruning instead of shuffling its arrays every micro-batch).
     The ``doc_id_a < doc_id_b`` filter makes emission exactly-once by
     construction: a pair appears only in the micro-batch where its
-    larger id arrives (the smaller id is always present in the frozen
-    table), so the union over batches equals the batch face with NO
-    cross-batch dedup state — unlike ``dropDuplicates``, nothing
-    accumulates in the state store. Returns batches executed."""
+    larger id arrives, so the union over batches equals the batch face
+    with NO cross-batch dedup state — unlike ``dropDuplicates``, nothing
+    accumulates in the state store.
+
+    PRECONDITION (ADVICE r6): completeness requires that every doc in the
+    frozen signature table is EVENTUALLY replayed through the stream — a
+    pair whose larger member lives only in the frozen table (never
+    streamed) is never emitted, because emission is tied to the larger
+    id's arrival. This face fits the re-scan/migration topology (stream =
+    replay of the corpus against its own frozen index). For genuinely
+    NEW documents arriving over time, use
+    :func:`stream_near_dup_pairs_incremental`, which appends arrivals'
+    signatures and has no replay precondition. The sink is retry-safe
+    (per-batch overwrite, :func:`write_batch_idempotent`). Returns
+    batches executed."""
     from ..operators import dedup
 
     thr = dedup.JACCARD_THRESHOLD if threshold is None else threshold
@@ -146,7 +170,82 @@ def stream_near_dup_pairs(
     def process_batch(batch_df, batch_id):
         arrivals = dedup._shingled_sig_from(batch_df)
         pairs = dedup.verified_pairs_skinny_fetch(sig_table, thr, sig_b=arrivals)
-        pairs.write.mode("append").parquet(os.path.join(out_dir, "pairs"))
+        write_batch_idempotent(pairs, os.path.join(out_dir, "pairs"), batch_id)
+        batches.append(batch_id)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # several micro-batches per pass
+        .parquet(texts_path)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()
+    return len(batches)
+
+
+def stream_near_dup_pairs_incremental(
+    spark, texts_path: str, sig_dir: str, out_dir: str, checkpoint_dir: str, threshold=None
+):
+    """INCREMENTAL streaming MinHash dedup (VERDICT r6 item 1): genuinely
+    new documents arrive over time, and the signature table GROWS with
+    them — the steady-state topology of a continuously-ingesting corpus,
+    with no replay precondition (cf. :func:`stream_near_dup_pairs`, the
+    frozen-table re-scan face).
+
+    Per micro-batch:
+
+    1. the arrivals' signatures are APPENDED to the signature store,
+       idempotently (``sig_dir/batch_id=<id>`` overwrite — a replayed
+       batch rewrites identical bytes, never duplicates rows);
+    2. the arrivals (b-side, skinny band keys) are paired against the
+       table-SO-FAR (a-side — which now includes this batch, so
+       batch-internal new×new pairs are found too) via the shared
+       skinny-fetch join in ``any_order`` mode: a match in either
+       orientation canonicalizes to ``(min, max)``, so the pair is
+       emitted in the micro-batch where its LAST member arrives — its
+       other member is in the table-so-far *by construction*, whichever
+       of the two ids is larger. New×new pairs ACROSS batches are in
+       contract, and so are arrivals out of id order;
+    3. the verified pairs land under ``out_dir/pairs/batch_id=<id>``
+       (overwrite — retry-safe like the signature append).
+
+    Exactly-once, including under sink retries: each unordered pair is
+    produced only by its last-arriving member's batch (earlier batches
+    lacked the other member's signature; the file source delivers each
+    doc once), and both writes are per-batch overwrites.
+
+    Scale shape: identical to the stored-table batch face — the growing
+    signature store is scanned with column pruning (band join carries
+    (band_key, doc_id); shingle sets fetched only for surviving
+    candidates). At 10^12 docs the arrivals side is tiny per batch, so
+    each micro-batch costs one pruned scan of the store, not a
+    recompute. Returns micro-batches executed this invocation."""
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup
+
+    thr = dedup.JACCARD_THRESHOLD if threshold is None else threshold
+
+    schema = "doc_id long, text string"
+    sig_cols = ["doc_id", "shingles_h"] + [f"sig_{i}" for i in range(dedup.N_HASHES)]
+    batches = []
+
+    def process_batch(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        arrivals = dedup._shingled_sig_from(batch_df)
+        write_batch_idempotent(arrivals, sig_dir, batch_id)
+        # table-so-far INCLUDES this batch (read back after the append);
+        # drop the batch_id partition column — consumers see the same
+        # schema as the batch signature table.
+        table_so_far = sess.read.parquet(sig_dir).select(*sig_cols)
+        arrived = sess.read.parquet(os.path.join(sig_dir, f"batch_id={batch_id}"))
+        pairs = dedup.verified_pairs_skinny_fetch(
+            table_so_far, thr, sig_b=arrived, any_order=True
+        )
+        write_batch_idempotent(pairs, os.path.join(out_dir, "pairs"), batch_id)
         batches.append(batch_id)
 
     stream = (

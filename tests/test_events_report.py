@@ -31,6 +31,49 @@ def test_streaming_windowed_equals_batch(spark, tmp_path):
     assert len(streamed) >= len(batch) - 10
 
 
+def test_streaming_windowed_contract_needs_ordered_arrivals(spark, tmp_path):
+    """VERDICT r6 item 7 — the windowed face's ordering contract, stated
+    negatively: arrivals that violate event-time order ACROSS invocations
+    (newer slice first) land beyond the checkpointed watermark and are
+    DROPPED — visible as loss (emitted counts strictly below batch),
+    never as corruption (no emitted window ever exceeds its batch count,
+    and closed windows are never re-emitted with double counts). Within
+    the ordered-arrival contract the face is exact
+    (test_streaming_windowed_equals_batch)."""
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark.operators import events
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    cutoff = "2024-01-15"
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # REVERSED arrival: the newer half first, the older half second
+    ev.filter(F.col("ts") >= cutoff).coalesce(1).write.mode("append").parquet(src)
+    events.stream_events_windowed(spark, src, out, ckpt)
+    ev.filter(F.col("ts") < cutoff).coalesce(1).write.mode("append").parquet(src)
+    events.stream_events_windowed(spark, src, out, ckpt)
+
+    streamed = {
+        (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+        for r in events.events_windowed_df(spark, SF_SMALL).collect()
+    }
+    assert len(streamed) > 0
+    # no corruption: every emitted window is a (possibly partial) subset
+    # of its batch twin — late data is dropped, never double-counted
+    for k, (n, _s) in streamed.items():
+        assert k in batch and n <= batch[k][0], k
+    # and the disorder is VISIBLE as loss: the older half's events are
+    # beyond the watermark, so total emitted events fall short of batch
+    assert sum(n for n, _ in streamed.values()) < sum(n for n, _ in batch.values())
+
+
 def test_sessionize_sane(spark):
     from serbian_osm_lint_spark.operators import events
 

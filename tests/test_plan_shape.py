@@ -162,6 +162,25 @@ def test_ivf_probes_are_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ivf_stored_scan_is_dynamically_pruned(spark):
+    """VERDICT r6 item 4: the stored IVF assignment table is partitioned
+    by cell, and the probe join triggers DYNAMIC partition pruning — the
+    executed scan reads only the probed cells' partition directories, not
+    the whole corpus (the inverted-list property that makes IVF an index
+    at 10^10 vectors). Output equality with the recompute face is under
+    the oracle gate (ann_ivf_topk_stored, same SQL twin)."""
+    from serbian_osm_lint_spark.operators import similarity
+
+    df = similarity.ann_ivf_topk_stored_df(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "NestedLoop" not in plan
+    assert "dynamicpruning" in plan.lower(), "probe join must prune cell partitions"
+    # and no corpus-wide centroid scoring: the 16-dot-product projection
+    # appears only on the tiny query side (vec_id < N_QUERIES pushdown),
+    # never over the full stored scan
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,20)]" in plan
+
+
 def test_salted_agg_splits_hot_cell(spark):
     """SURVEY §7.3: the hot cells must actually trigger the salted path —
     the partial (cell, salt) aggregation must hold the hot cell in many

@@ -360,6 +360,85 @@ def test_streaming_decontaminate_equals_batch(spark, tmp_path):
     assert stream.stream_decontaminate(spark, src, holdout, out, ckpt) == 0
 
 
+def test_streaming_decontaminate_is_order_independent(spark, tmp_path):
+    """VERDICT r6 item 7 — this face's ordering contract is the happy
+    one: per-doc flags depend only on the doc's own grams × the FROZEN
+    holdout set, so REVERSED arrival order still equals batch exactly.
+    No implicit AvailableNow-ordering reliance here, and the test pins
+    that."""
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark.operators import corpus
+    from serbian_osm_lint_spark.streaming import stream
+
+    docs = corpus.with_contamination_df(spark, SF_SMALL)
+    p = corpus.split_col(F.col("doc_id"))
+    split = (
+        F.when(p < corpus.TRAIN_PCT, F.lit("train"))
+        .when(p < corpus.VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    ds = docs.select("doc_id", "text", split.alias("split"))
+    train = ds.filter("split = 'train'").select("doc_id", "text")
+    holdout = corpus.holdout_grams_df(ds)
+
+    src = str(tmp_path / "train")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # REVERSED halves relative to the ordered test
+    train.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    assert stream.stream_decontaminate(spark, src, holdout, out, ckpt) >= 1
+    train.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    assert stream.stream_decontaminate(spark, src, holdout, out, ckpt) >= 1
+
+    streamed = {
+        r.doc_id: (r.n_contaminated_grams, r.is_contaminated)
+        for r in spark.read.parquet(os.path.join(out, "flags")).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_contaminated_grams, r.is_contaminated)
+        for r in corpus.decontaminate_from(ds).collect()
+    }
+    assert streamed == batch
+
+
+def test_streaming_dedup_exact_contract_under_disorder(spark, tmp_path):
+    """VERDICT r6 item 7 — streamed exact dedup under REVERSED arrival:
+    the dedup INVARIANT holds order-free (exactly one survivor per
+    distinct fingerprint, same fingerprint set as batch), but WHICH doc
+    survives is arrival-order-dependent (first arrival wins, not min
+    doc_id) — the documented divergence from the batch face's
+    min-canonical rule."""
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark.functions.text import fingerprint_col
+    from serbian_osm_lint_spark.streaming import stream
+
+    texts = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    texts_path = str(tmp_path / "texts")
+    # REVERSED: the duplicate (doc 3) arrives BEFORE its lower-id twin
+    texts.filter(F.col("doc_id") == 3).write.parquet(texts_path)
+    texts.filter(F.col("doc_id") <= 2).write.mode("append").parquet(texts_path)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    assert stream.stream_dedup_exact(spark, texts_path, out, ckpt) >= 1
+    got = spark.read.parquet(f"{out}/canonical").collect()
+    assert len(got) == 2 and len({r.fp for r in got}) == 2  # invariant holds
+    want_fps = {
+        r.fp
+        for r in texts.select(fingerprint_col(F.col("text")).alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert {r.fp for r in got} == want_fps
+    # the arrival-order dependence, made explicit: doc 3 won, not doc 1
+    assert {r.doc_id for r in got} == {3, 2}
+
+
 def test_streaming_near_dup_pairs_equals_batch(spark, tmp_path):
     """Streaming MinHash dedup (stream-static band join vs the frozen
     stored signature table) emits exactly the batch face's pair set over
@@ -393,6 +472,68 @@ def test_streaming_near_dup_pairs_equals_batch(spark, tmp_path):
     assert len(streamed) == len(set(streamed))  # exactly-once, no dedup state
 
     assert stream.stream_near_dup_pairs(spark, src, sig, out, ckpt) == 0
+
+
+def test_streaming_near_dup_incremental_grows_the_corpus(spark, tmp_path):
+    """VERDICT r6 item 1: the incremental face handles genuinely NEW
+    documents — arrivals' signatures are appended to the store, so
+    new×new pairs are in contract, within a batch AND across batches,
+    even when the later-arriving member has the SMALLER id (the frozen-
+    table face's structural blind spot). Streamed pair set ≡ the batch
+    face over the grown corpus, each pair exactly once; a checkpoint
+    re-run adds nothing."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from serbian_osm_lint_spark.operators import dedup
+    from serbian_osm_lint_spark.streaming import stream
+
+    base = dedup.with_near_dups_df(spark, SF_SMALL)
+    novel_text = "zzq0 zzq1 zzq2 zzq3 zzq4 zzq5 zzq6 zzq7 zzq8 zzq9"
+    novel = spark.createDataFrame(
+        # the SMALLER novel id arrives LAST (wave 3): emission must key on
+        # arrival order, not id order
+        [(5000001, novel_text), (5000000, novel_text + " zzq10")],
+        "doc_id long, text string",
+    )
+    grown = base.unionByName(novel)
+
+    src = str(tmp_path / "arrivals")
+    sig_dir = str(tmp_path / "sigs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    waves = [
+        base.filter("doc_id < 1000000"),  # originals
+        base.filter("doc_id >= 1000000").unionByName(  # copies + novel A
+            novel.filter("doc_id = 5000001")
+        ),
+        novel.filter("doc_id = 5000000"),  # novel B — new×new ACROSS batches
+    ]
+    for wave in waves:
+        wave.coalesce(1).write.mode("append").parquet(src)
+        assert (
+            stream.stream_near_dup_pairs_incremental(spark, src, sig_dir, out, ckpt) >= 1
+        )
+
+    streamed = [
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in spark.read.parquet(os.path.join(out, "pairs")).collect()
+    ]
+    batch = sorted(
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in dedup.lsh_verified_pairs_from(grown).collect()
+    )
+    assert sorted(streamed) == batch and len(batch) > 0
+    assert len(streamed) == len(set(streamed))  # exactly once
+    # the novel new×new pair exists, crossed batches, and matched nothing
+    # in the pre-ingested corpus
+    assert (5000000, 5000001) in {(a, b) for a, b, _ in streamed}
+    assert not any((a in (5000000, 5000001)) ^ (b in (5000000, 5000001))
+                   for a, b, _ in streamed)
+
+    # idempotent re-run: no new batches, no new pairs, no new signatures
+    assert stream.stream_near_dup_pairs_incremental(spark, src, sig_dir, out, ckpt) == 0
+    assert spark.read.parquet(os.path.join(out, "pairs")).count() == len(batch)
+    assert spark.read.parquet(sig_dir).count() == grown.count()
 
 
 def test_resume_manifest_carries_quarantine_counts(spark, out_dir):
@@ -436,6 +577,37 @@ def test_resume_manifest_carries_quarantine_counts(spark, out_dir):
         if r.doc_id == "bad"
     )
     assert manifest[bad_bucket]["quarantined"] == 1
+
+
+def test_resumable_pair_generation_kill_and_resume(spark, out_dir):
+    """VERDICT r6 item 8: pair generation over the stored signature table
+    is resumable — the pair space partitions by the larger member's hash
+    bucket, so a killed job resumes from the bucket manifest with an
+    identical final pair set and no double-processing."""
+    from serbian_osm_lint_spark.operators import dedup
+    from serbian_osm_lint_spark.streaming import resume
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        dedup.resumable_lsh_pairs(spark, SF_SMALL, out_dir, n_buckets=4, fail_after=2)
+    manifest = resume.BucketManifest(os.path.join(out_dir, "_manifest"))
+    assert len(manifest.done_buckets()) == 2
+
+    # resume: exactly the remaining buckets; then a no-op
+    assert dedup.resumable_lsh_pairs(spark, SF_SMALL, out_dir, n_buckets=4) == 2
+    assert dedup.resumable_lsh_pairs(spark, SF_SMALL, out_dir, n_buckets=4) == 0
+
+    resumed = [
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in resume.read_result(spark, out_dir).collect()
+    ]
+    single = sorted(
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs_df(spark, SF_SMALL).collect()
+    )
+    assert sorted(resumed) == single and len(single) > 0
+    assert len(resumed) == len(set(resumed))  # no pair produced twice
+    # lineage: per-bucket pair counts sum to the total
+    assert sum(m["rows"] for m in manifest.done_buckets().values()) == len(single)
 
 
 def test_resume_generalizes_to_corpus_op(spark, out_dir):
