@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_near_dups_stored"] = lambda s, d: dedup.simhash_near_dups_stored_df(s, d)
     q["dedup_components_multi_stored"] = lambda s, d: dedup.dedup_components_multi_stored_df(s, d)
     q["ann_ivf_topk_stored"] = lambda s, d: similarity.ann_ivf_topk_stored_df(s, d)
+    q["embedding_near_dups_stored"] = lambda s, d: dedup.embedding_near_dups_stored_df(s, d)
     return q
 
 
@@ -255,4 +256,5 @@ def oracle_sql() -> dict[str, str]:
     o["simhash_near_dups_stored"] = dedup.sql_simhash_near_dups_stored()
     o["dedup_components_multi_stored"] = dedup.sql_dedup_components_multi_stored()
     o["ann_ivf_topk_stored"] = similarity.sql_ann_ivf_topk_stored()
+    o["embedding_near_dups_stored"] = dedup.sql_embedding_near_dups_stored()
     return o

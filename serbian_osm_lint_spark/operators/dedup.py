@@ -922,6 +922,98 @@ def embedding_near_dups_df(spark, sf_dir: str):
     return emb_near_dup_pairs_from(emb, n_planes_for(n_raw + (n_raw + 4) // 5))
 
 
+#: bump when the sign-bucket derivation changes (invalidates stored tables).
+EMB_BUCKET_VERSION = "v1"
+
+
+def emb_bucket_table(spark, sf_dir: str):
+    """The STORED embedding sign-bucket table ``(vec_id, v, set_id,
+    bucket)`` — one row per (vector, plane set), computed ONCE at ingest
+    (r7: completes the ingest-once family — MinHash, SimHash, IVF cells,
+    and now the hyperplane buckets). Returns ``(table, n_planes)``.
+
+    At 10^10 vectors the ``N_PLANE_SETS × n_planes`` dot products per
+    vector are the dominant blocking cost; storing the bucket ids means a
+    pair pass never re-scores them — and the 1-bit multi-probe set is
+    pure BIT MATH over the stored bucket (``bucket XOR (1 << i)``), so
+    probing needs no vector access at all. The cache key carries the
+    plane-count derivation inputs and the embeddings content fingerprint."""
+    from pyspark.sql import functions as F
+
+    from ..sources import catalog
+    from .similarity import N_PLANE_SETS, emb_fingerprint
+
+    path = f"{sf_dir}/embeddings.parquet"
+    n_raw = catalog.parquet_row_count(path)
+    # same corpus-size derivation as embedding_near_dups_df (dup'd corpus)
+    n_planes = n_planes_for(n_raw + (n_raw + 4) // 5)
+
+    def build():
+        emb = with_emb_dups_df(spark, sf_dir)
+        return emb.select(
+            "vec_id",
+            "v",
+            F.posexplode(set_buckets_col(F.col("v"), n_planes, N_PLANE_SETS)).alias(
+                "set_id", "bucket"
+            ),
+        )
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    tbl = catalog.cached_table(
+        spark,
+        f"emb_buckets_{key}_{EMB_BUCKET_VERSION}_p{n_planes}s{N_PLANE_SETS}_{emb_fingerprint(path)}",
+        build,
+    )
+    return tbl, n_planes
+
+
+def embedding_near_dups_stored_df(spark, sf_dir: str):
+    """Stored-bucket face of :func:`embedding_near_dups_df` — identical
+    output (same oracle SQL), zero dot products in the blocking stage:
+
+    * probe side = the stored buckets' 1-bit flips (bit math only),
+      carrying just (set_id, bucket, vec_id) — a SKINNY explode;
+    * build side = the stored exact buckets, skinny too;
+    * the few surviving candidate pairs fetch their vectors BY vec_id
+      from the stored table for the exact-cosine verification — the same
+      candidates-then-fetch topology as the MinHash skinny-fetch join.
+    """
+    from pyspark.sql import functions as F
+
+    from .similarity import _cosine
+
+    tbl, n_planes = emb_bucket_table(spark, sf_dir)
+    a = tbl.select(
+        "set_id",
+        F.explode(probe_buckets_col(F.col("bucket"), n_planes)).alias("bucket"),
+        F.col("vec_id").alias("vec_id_a"),
+    )
+    b = tbl.select("set_id", "bucket", F.col("vec_id").alias("vec_id_b"))
+    cand = (
+        a.join(b.hint("SHUFFLE_HASH"), ["set_id", "bucket"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .distinct()
+    )
+    # one (vec_id, v) row per vector: any single plane set's rows cover all
+    vecs = tbl.filter(F.col("set_id") == 0).select("vec_id", "v")
+    va = vecs.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
+    cos = _cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "vec_id_a")
+        .join(vb, "vec_id_b")
+        .select("vec_id_a", "vec_id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+def sql_embedding_near_dups_stored() -> str:
+    """Twin of :func:`embedding_near_dups_stored_df`: storage topology is
+    semantics-invisible — the same band-OR SQL as the recompute face."""
+    return sql_embedding_near_dups()
+
+
 def sql_embedding_near_dups() -> str:
     """DuckDB twin with a RUNTIME plane count: the ``np`` CTE replays
     :func:`n_planes_for` over the scanned corpus (the Spark face derives

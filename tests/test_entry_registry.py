@@ -81,6 +81,7 @@ POST_CAP_FACES = [
     "simhash_near_dups_stored",
     "dedup_components_multi_stored",
     "ann_ivf_topk_stored",
+    "embedding_near_dups_stored",
 ]
 
 
