@@ -34,6 +34,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402  (consume/calibrate + protocol constants)
 
+# one 32-thread JVM sorting 1.5 M-doc windows: size the heap like 32
+# executor cores would be. The sf0.1 default (8g) was a marginal fit at
+# 100× — r7's added ingest builds (simhash + IVF tables) in the same JVM
+# pushed the kNN window sort into Java-heap OOM, killing the context.
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+
 SCALE = 100
 N_CUSTOMERS = 15_000 * SCALE
 N_DOCUMENTS = 5_000 * SCALE
