@@ -201,6 +201,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_components_multi_stored"] = lambda s, d: dedup.dedup_components_multi_stored_df(s, d)
     q["ann_ivf_topk_stored"] = lambda s, d: similarity.ann_ivf_topk_stored_df(s, d)
     q["embedding_near_dups_stored"] = lambda s, d: dedup.embedding_near_dups_stored_df(s, d)
+    # PQ/ADC ANN (alternate scale path of the gated ann_* family): both
+    # faces share one oracle — storage topology is invisible to semantics.
+    q["ann_pq_topk"] = lambda s, d: similarity.ann_pq_topk_df(s, d)
+    q["ann_pq_topk_stored"] = lambda s, d: similarity.ann_pq_topk_stored_df(s, d)
     return q
 
 
@@ -257,4 +261,6 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_components_multi_stored"] = dedup.sql_dedup_components_multi_stored()
     o["ann_ivf_topk_stored"] = similarity.sql_ann_ivf_topk_stored()
     o["embedding_near_dups_stored"] = dedup.sql_embedding_near_dups_stored()
+    o["ann_pq_topk"] = similarity.sql_ann_pq_topk()
+    o["ann_pq_topk_stored"] = similarity.sql_ann_pq_topk()
     return o

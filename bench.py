@@ -166,6 +166,13 @@ def main():
     def q_ann_ivf_stored():
         return similarity.ann_ivf_topk_stored_df(spark, SF_DIR)
 
+    # r7: PQ/ADC — codes materialized at ingest (untimed); the timed pass
+    # is the skinny (id, 8 codes, norm) ADC scan + 50-candidate re-rank
+    similarity.pq_code_table(spark, SF_DIR)
+
+    def q_ann_pq_stored():
+        return similarity.ann_pq_topk_stored_df(spark, SF_DIR)
+
     benches = {
         "lint_verdicts": q_lint,
         "point_in_serbia": q_pip,
@@ -177,6 +184,7 @@ def main():
         "ann_cosine_topk": q_ann,
         "ann_ivf_topk": q_ann_ivf,
         "ann_ivf_topk_stored": q_ann_ivf_stored,
+        "ann_pq_topk_stored": q_ann_pq_stored,
         "simhash_near_dups": q_simhash_near,
         "simhash_stored": q_simhash_stored,
         "media_features": q_media,

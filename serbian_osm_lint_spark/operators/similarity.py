@@ -624,3 +624,292 @@ def sql_ann_lsh_topk(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+# ------------------------------------------------------------------ PQ
+# Product quantization (asymmetric distance computation): the third ANN
+# scale path next to IVF (coarse quantizer) and sign-bucket LSH. Each
+# 64-dim vector is split into PQ_M=8 subvectors of 8 dims; each subvector
+# is quantized to its nearest of PQ_K=16 sub-codes. A corpus vector is
+# then PQ_M small ints + its true norm — at 10^10 vectors the ADC scan
+# reads ~9 bytes/vector instead of 256 (64 × float32), a ~28× skinnier
+# steady-state read, which is the entire point of PQ at 100 TB.
+#
+# The sub-codebooks are SLICES of the same deterministic data-derived
+# codebook as IVF (:func:`data_centroids`: md5(vec_id) stratum, arg-min
+# representative) — RNG-free, so the DuckDB twin replays the identical
+# spec end-to-end. Queries score candidates with per-subspace lookup
+# tables (PQ_K dots per subspace, computed ONCE per query, independent of
+# corpus size) and the top PQ_CANDS by rounded ADC-cosine are re-ranked
+# by exact cosine. Recall < 1 by construction, like the IVF/LSH faces.
+#
+# The reference has no similarity search; this is part of the mandated
+# training-data-pipeline surface (brief §similarity), spec'd to the same
+# determinism discipline as ann_ivf_topk (similarity.py:340).
+
+PQ_M = 8                    # subspaces
+PQ_SUB = EMB_DIM // PQ_M    # dims per subspace
+PQ_K = N_CENTROIDS          # sub-codes per subspace (slices of the IVF codebook)
+PQ_CANDS = 50               # ADC candidates per query before exact re-rank
+#: bump when the PQ encoding derivation changes (invalidates stored tables).
+PQ_VERSION = "v1"
+
+
+def _pq_sub(v, m: int):
+    """Subvector m (0-based) of a 64-dim array column: dims [m*8, m*8+8)."""
+    from pyspark.sql import functions as F
+
+    return F.slice(v, m * PQ_SUB + 1, PQ_SUB)
+
+
+#: codebook-literal memo: F.lit(16×64 nested list) walks py4j element by
+#: element (~0.8 s per call, measured r7) — build the Column once per
+#: codebook object. Keyed by id() with the codebook kept referenced so the
+#: id can't be recycled; codebooks themselves are memoized per corpus in
+#: _CODEBOOK_CACHE, so this stays a handful of entries.
+_CB_LIT_CACHE: dict = {}
+
+
+def _cb_lit(cents: list[list[float]]):
+    from pyspark.sql import functions as F
+
+    hit = _CB_LIT_CACHE.get(id(cents))
+    if hit is None or hit[0] is not cents:
+        _CB_LIT_CACHE[id(cents)] = hit = (cents, F.lit(cents))
+    return hit[1]
+
+
+def pq_codes_col(v, cents: list[list[float]]):
+    """``array<int>`` of PQ_M 1-based sub-code ids for vector column ``v``.
+
+    Sub-code m is the argmin over the PQ_K codebook slices of the rounded
+    squared L2 distance, computed as dot(s,s) - 2·dot(s,c) + dot(c,c) in
+    BOTH engines (same formula → same ulps feed the same round(·, 6); ties
+    break to the smallest code via first-position-of-min, mirroring
+    ``list_position``/``array_position``).
+
+    Construction shape matters as much as execution shape here: the
+    codebook rides as ONE nested-array literal and the per-subspace
+    distance lists as ``transform`` higher-order functions — PQ_M
+    expressions total, not PQ_M × PQ_K unrolled dots (the unrolled form
+    costs ~5 s of client-side expression building / py4j round trips per
+    plan, dwarfing the 0.3 s execution; measured r7)."""
+    from pyspark.sql import functions as F
+
+    cb = _cb_lit(cents)
+
+    def dist_fn(s, ss, m):
+        # factory: F.transform requires a 1-arg lambda (it inspects the
+        # signature), so the loop state binds via closure, not defaults
+        def dist(c):
+            csub = F.slice(c, m * PQ_SUB + 1, PQ_SUB)
+            return F.round(ss - 2.0 * _dot(s, csub) + _dot(csub, csub), 6)
+
+        return dist
+
+    codes = []
+    for m in range(PQ_M):
+        s = _pq_sub(v, m)
+        dists = F.transform(cb, dist_fn(s, _dot(s, s), m))
+        codes.append(F.array_position(dists, F.array_min(dists)).cast("int"))
+    return F.array(*codes)
+
+
+def _pq_encoded(spark, sf_dir: str):
+    """(vec_id, v, codes, vnorm) with codes computed inline (recompute face)."""
+    from pyspark.sql import functions as F
+
+    cents = data_centroids(spark, sf_dir)
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", _to_double(F.col("embedding")).alias("v"))
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    )
+    return emb.select(
+        "vec_id",
+        "v",
+        pq_codes_col(F.col("v"), cents).alias("codes"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("vnorm"),
+    )
+
+
+def pq_code_table(spark, sf_dir: str):
+    """The STORED PQ code table ``(vec_id, codes:array<int>, vnorm)`` —
+    encoded ONCE at ingest via the catalog (ingest-once family member #5
+    after MinHash / SimHash / IVF cells / sign buckets). Deliberately
+    does NOT store ``v``: the steady-state ADC scan is the skinny
+    (id, 8 codes, norm) projection; full vectors are fetched BY ID only
+    for the PQ_CANDS re-rank survivors. Cache key carries the embeddings
+    content fingerprint, so a rewritten corpus re-encodes."""
+    import os
+
+    from ..sources import catalog
+
+    path = f"{sf_dir}/embeddings.parquet"
+    key = os.path.basename(os.path.normpath(sf_dir))
+
+    def build():
+        return _pq_encoded(spark, sf_dir).drop("v")
+
+    return catalog.cached_table(
+        spark, f"pq_codes_{key}_{PQ_VERSION}_{emb_fingerprint(path)}", build
+    )
+
+
+def _pq_topk(spark, sf_dir: str, encoded, k: int, n_queries: int):
+    """Shared ADC + re-rank tail over an encoded corpus (inline or stored).
+
+    ``encoded`` must have (vec_id, codes, vnorm). Query side (tiny,
+    broadcast): per subspace m a PQ_K-entry LUT of dot(q_sub, code_sub);
+    ADC-cosine of a corpus row is Σ_m lut_m[codes[m]] / (qnorm · vnorm),
+    rounded — ZERO vector math per (query, corpus) pair, just PQ_M array
+    lookups over the skinny scan. Top PQ_CANDS by (adc, id) → fetch full
+    vectors by id → exact-cosine top-k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cents = data_centroids(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _to_double(F.col("embedding")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries)
+    cb = _cb_lit(cents)  # one nested-array literal, memoized per codebook
+    luts = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qnorm"),
+        *[
+            F.transform(
+                cb,
+                (lambda m: lambda c: _dot(
+                    _pq_sub(F.col("v"), m), F.slice(c, m * PQ_SUB + 1, PQ_SUB)
+                ))(m),
+            ).alias(f"lut{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    adc_sum = None
+    for m in range(PQ_M):
+        term = F.element_at(F.col(f"lut{m}"), F.element_at(F.col("codes"), m + 1))
+        adc_sum = term if adc_sum is None else adc_sum + term
+    scored = (
+        encoded.crossJoin(F.broadcast(luts))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(adc_sum / (F.col("qnorm") * F.col("vnorm")), 6).alias("adc"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("neighbor_id"))
+    cands = (
+        scored.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= PQ_CANDS)
+        .select("query_id", "neighbor_id")
+    )
+    # re-rank: full vectors by id for survivors only (queries re-read from
+    # the tiny min/max-pruned query scan)
+    qv = queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    rer = (
+        cands.join(emb, cands.neighbor_id == emb.vec_id)
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("v")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ann_pq_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
+    """PQ/ADC ANN, recompute face: encode inline, then the shared ADC +
+    exact re-rank tail (:func:`_pq_topk`)."""
+    return _pq_topk(spark, sf_dir, _pq_encoded(spark, sf_dir), k, n_queries)
+
+
+def ann_pq_topk_stored_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
+    """Stored-code face: identical output (same oracle SQL), but the ADC
+    pass scans :func:`pq_code_table` — (id, 8 codes, norm), no vectors —
+    and full vectors are read only for the re-rank survivors."""
+    return _pq_topk(spark, sf_dir, pq_code_table(spark, sf_dir), k, n_queries)
+
+
+def sql_ann_pq_topk(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
+    """DuckDB twin of the PQ faces: same data-derived codebook CTE as the
+    IVF twin (md5 stratum, arg_min representative, ``error()`` guard kept
+    load-bearing through ``vnorm``), sub-codes via the same rounded
+    dot-form L2² argmin (``list_position`` of ``list_min`` = first-min
+    tie-break, mirroring ``array_position``), ADC terms written as the
+    same left-to-right 8-term sum, exact-cosine re-rank of the top
+    PQ_CANDS. Storage topology is invisible: one twin serves both the
+    recompute and stored faces."""
+
+    def sub(e: str, m: int) -> str:
+        return f"{e}[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}]"
+
+    code_exprs = []
+    for m in range(PQ_M):
+        dists = ", ".join(
+            f"round({_sql_dot(sub('r.v', m), sub('r.v', m))}"
+            f" - 2*{_sql_dot(sub('r.v', m), sub(f'cbn.cb[{j + 1}]', m))}"
+            f" + {_sql_dot(sub(f'cbn.cb[{j + 1}]', m), sub(f'cbn.cb[{j + 1}]', m))}, 6)"
+            for j in range(PQ_K)
+        )
+        code_exprs.append(f"list_position([{dists}], list_min([{dists}]))")
+    codes_list = ", ".join(code_exprs)
+    adc_terms = " + ".join(
+        f"{_sql_dot(sub('q.qv', m), sub(f'cbn.cb[c.codes[{m + 1}]]', m))}"
+        for m in range(PQ_M)
+    )
+    cos = _sql_cosine("q.qv", "e.v")
+    return f"""
+    WITH raw AS ({_SQL_EMB}),
+    cents AS (
+      SELECT CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {N_CENTROIDS} AS stratum,
+             arg_min(v, vec_id) AS c
+      FROM raw GROUP BY 1
+    ),
+    guard AS (
+      SELECT CASE WHEN (SELECT count(*) FROM cents) < {N_CENTROIDS}
+                  THEN error('corpus fills only ' ||
+                             (SELECT count(*) FROM cents) || '/{N_CENTROIDS}' ||
+                             ' centroid strata - too small for IVF')
+                  ELSE 1 END AS ok
+    ),
+    cbn AS (
+      -- ok (= 1) rides into vnorm so the guard can't be pruned away
+      SELECT list(c ORDER BY stratum) AS cb, any_value(guard.ok) AS ok
+      FROM cents, guard
+    ),
+    codes AS (
+      SELECT r.vec_id, [{codes_list}] AS codes,
+             sqrt({_sql_dot('r.v', 'r.v')}) * cbn.ok AS vnorm
+      FROM raw r, cbn
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, sqrt({_sql_dot('v', 'v')}) AS qnorm
+      FROM raw WHERE vec_id < {n_queries}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(({adc_terms}) / (q.qnorm * c.vnorm), 6) AS adc
+      FROM codes c CROSS JOIN q, cbn WHERE c.vec_id <> q.query_id
+    ),
+    cands AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= {PQ_CANDS}
+    ),
+    rer AS (
+      SELECT ca.query_id, ca.neighbor_id, {cos} AS cosine
+      FROM cands ca JOIN raw e ON e.vec_id = ca.neighbor_id
+                    JOIN q ON q.query_id = ca.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rer
+    ) WHERE rank <= {k}
+    """

@@ -82,6 +82,8 @@ POST_CAP_FACES = [
     "dedup_components_multi_stored",
     "ann_ivf_topk_stored",
     "embedding_near_dups_stored",
+    "ann_pq_topk",
+    "ann_pq_topk_stored",
 ]
 
 
