@@ -158,6 +158,7 @@ def main():
     dedup.minhash_sig_table(spark, out)  # untimed, like bench.py
     dedup.simhash_sig_table(spark, out)  # untimed ingest write (r7)
     similarity.ivf_assignment_table(spark, out)  # untimed ingest write (r7)
+    similarity.pq_code_table(spark, out)  # untimed ingest encode (r7)
 
     benches = {
         "lint_verdicts": lambda: lint_pipeline.build_verdicts(spark, out),
@@ -170,6 +171,7 @@ def main():
         "ann_cosine_topk": lambda: similarity.ann_cosine_topk_df(spark, out),
         "ann_ivf_topk": lambda: similarity.ann_ivf_topk_df(spark, out),
         "ann_ivf_topk_stored": lambda: similarity.ann_ivf_topk_stored_df(spark, out),
+        "ann_pq_topk_stored": lambda: similarity.ann_pq_topk_stored_df(spark, out),
         "simhash_near_dups": lambda: dedup.simhash_near_dups_df(spark, out),
         "simhash_stored": lambda: dedup.simhash_near_dups_stored_df(spark, out),
         "dedup_components_multi_stored": lambda: dedup.dedup_components_multi_stored_df(

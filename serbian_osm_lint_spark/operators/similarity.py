@@ -77,17 +77,37 @@ def _cosine(a, b):
     return F.round(_dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6)
 
 
+#: hyperplane-literal memo, keyed by (n_planes, plane_set): like the PQ/IVF
+#: codebook literal (_cb_lit), the n×64 nested F.lit walks py4j element by
+#: element, and the unrolled per-plane form made expression CONSTRUCTION
+#: cost more than execution on every LSH-bucketed face (measured r7:
+#: ann_lsh_topk 3.4 s build vs 1.6 s exec per fresh plan).
+_PLANES_LIT_CACHE: dict = {}
+
+
+def _planes_lit(n_planes: int, plane_set: int):
+    from pyspark.sql import functions as F
+
+    key = (n_planes, plane_set)
+    if key not in _PLANES_LIT_CACHE:
+        _PLANES_LIT_CACHE[key] = F.lit(_hyperplanes(n_planes, plane_set))
+    return _PLANES_LIT_CACHE[key]
+
+
 def sign_bucket_col(v, n_planes: int = N_PLANES, plane_set: int = 0):
     """Random-hyperplane sign bucket of a double-array column: bit p is
     set iff dot(v, plane_p) > 0. Deterministic (LCG planes, no RNG);
-    ``plane_set`` selects one of the independent band-OR plane sets."""
+    ``plane_set`` selects one of the independent band-OR plane sets.
+
+    Same values as the unrolled per-plane form (identical dot fold and
+    bit weights, summed in plane order) built as zip_with/aggregate over
+    the memoized plane literal."""
     from pyspark.sql import functions as F
 
-    bucket = None
-    for i, plane in enumerate(_hyperplanes(n_planes, plane_set)):
-        term = (_dot(v, F.array(*[F.lit(w) for w in plane])) > 0).cast("int") * (1 << i)
-        bucket = term if bucket is None else bucket + term
-    return bucket
+    pl = _planes_lit(n_planes, plane_set)
+    pows = F.lit([1 << i for i in range(n_planes)])
+    terms = F.zip_with(pl, pows, lambda p, w: (_dot(v, p) > 0).cast("int") * w)
+    return F.aggregate(terms, F.lit(0), lambda a, x: a + x)
 
 
 def sql_sign_bucket(v: str, n_planes: int = N_PLANES, plane_set: int = 0) -> str:
@@ -140,6 +160,40 @@ def sql_sign_bucket_dyn(v: str, np_expr: str, plane_set: int = 0) -> str:
     return "(" + " + ".join(bit_terms) + ")"
 
 
+def _topk_per_query(scored, order_cols, k: int, rank_col: str | None = None):
+    """Two-phase per-query top-k over a corpus-proportional scored frame.
+
+    Phase 1 ranks within (query_id, PHYSICAL input partition) — a
+    high-parallelism window whose shuffle spreads over n_queries ×
+    n_partitions keys — and keeps each partition's local top-k; phase 2
+    runs the exact global window over the ≤ n_partitions × k survivors.
+    Identical result to a single global window for ANY partitioning
+    (global top-k ⊆ union of per-partition top-k), but the single-window
+    form funnels EVERY scored row into just n_queries reducers: measured
+    r7 at 2M vectors × 20 queries, thread scaling was NEGATIVE (25 s at
+    32 threads vs 19 s at 8) until this split; with it the reduce side
+    parallelizes with the input.
+
+    ``order_cols`` must end in a total tie-break (neighbor_id) so both
+    phases are deterministic. Returns the top-k rows; with ``rank_col``,
+    appends the int rank."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pre_w = Window.partitionBy("query_id", "_pid").orderBy(*order_cols)
+    pre = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_prn", F.row_number().over(pre_w))
+        .filter(F.col("_prn") <= k)
+        .drop("_pid", "_prn")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order_cols)
+    ranked = pre.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    if rank_col is None:
+        return ranked.drop("_rn")
+    return ranked.withColumn(rank_col, F.col("_rn").cast("int")).drop("_rn")
+
+
 def ann_cosine_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
     """(query_id, neighbor_id, cosine, rank): brute-force top-k."""
     from pyspark.sql import Window
@@ -159,12 +213,9 @@ def ann_cosine_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUE
         F.col("vec_id").alias("neighbor_id"),
         _cosine(F.col("qv"), F.col("v")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
-    )
+    return _topk_per_query(
+        scored, [F.desc("cosine"), F.col("neighbor_id")], k, "rank"
+    ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 def ann_lsh_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
@@ -211,12 +262,9 @@ def ann_lsh_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIE
         F.col("vec_id").alias("neighbor_id"),
         _cosine(F.col("qv"), F.col("v")).alias("cosine"),
     ).distinct()  # a candidate found by several sets/probes scores once
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
-    )
+    return _topk_per_query(
+        scored, [F.desc("cosine"), F.col("neighbor_id")], k, "rank"
+    ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 N_CENTROIDS = 16
@@ -228,6 +276,18 @@ def _centroid(c: int) -> list[float]:
     Retained as the corpus-free fallback codebook (tests, empty strata
     are an error — see :func:`data_centroids`)."""
     return [_lcg_weight(1000 + c, d) for d in range(EMB_DIM)]
+
+
+_LCG_CODEBOOK: list | None = None
+
+
+def _lcg_codebook() -> list[list[float]]:
+    """The fallback codebook as a STABLE object (so the _cb_lit literal
+    memo keys on one identity instead of a fresh list per call)."""
+    global _LCG_CODEBOOK
+    if _LCG_CODEBOOK is None:
+        _LCG_CODEBOOK = [_centroid(c) for c in range(N_CENTROIDS)]
+    return _LCG_CODEBOOK
 
 
 #: driver-side codebook memo, keyed by (embeddings path, footer row
@@ -322,19 +382,20 @@ def _norms_of(centroids: list[list[float]]) -> list[float]:
 
 def centroid_scores_col(v, centroids: list[list[float]] | None = None):
     """Array of N_CENTROIDS rounded normalized-dot scores for a vector
-    against ``centroids`` (default: the LCG fallback codebook)."""
+    against ``centroids`` (default: the LCG fallback codebook).
+
+    Built as zip_with over the memoized nested-array codebook literal —
+    same values as the unrolled 16-dot form (identical left-to-right
+    fold, Python-computed norms, round at 6) at ~1/20 the client-side
+    expression-construction cost (the unrolled form's 1,024 F.lit py4j
+    round trips were ~half the benched per-run latency of the IVF faces;
+    measured r7)."""
     from pyspark.sql import functions as F
 
-    centroids = [_centroid(c) for c in range(N_CENTROIDS)] if centroids is None else centroids
-    norms = _norms_of(centroids)
-    return F.array(
-        *[
-            F.round(
-                _dot(v, F.array(*[F.lit(w) for w in centroids[c]])) / F.lit(norms[c]), 6
-            )
-            for c in range(N_CENTROIDS)
-        ]
-    )
+    centroids = _lcg_codebook() if centroids is None else centroids
+    cb = _cb_lit(centroids)
+    norms = F.lit(_norms_of(centroids))
+    return F.zip_with(cb, norms, lambda c, nm: F.round(_dot(v, c) / nm, 6))
 
 
 def ann_ivf_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
@@ -382,12 +443,9 @@ def ann_ivf_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIE
         F.col("vec_id").alias("neighbor_id"),
         _cosine(F.col("qv"), F.col("v")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
-    return (
-        scored_pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
-    )
+    return _topk_per_query(
+        scored_pairs, [F.desc("cosine"), F.col("neighbor_id")], k, "rank"
+    ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 #: bump when the IVF assignment derivation changes (invalidates stored tables).
@@ -479,12 +537,9 @@ def ann_ivf_topk_stored_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N
         F.col("vec_id").alias("neighbor_id"),
         _cosine(F.col("qv"), F.col("v")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
-    return (
-        scored_pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
-    )
+    return _topk_per_query(
+        scored_pairs, [F.desc("cosine"), F.col("neighbor_id")], k, "rank"
+    ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 def sql_ann_ivf_topk_stored() -> str:
@@ -769,6 +824,16 @@ def _pq_topk(spark, sf_dir: str, encoded, k: int, n_queries: int):
     from pyspark.sql import functions as F
 
     cents = data_centroids(spark, sf_dir)
+    # the ADC pass is the corpus-proportional stage: if the stored code
+    # table was laid down with fewer files than this session has cores
+    # (e.g. written by a narrower ingest job), the scan would cap map-side
+    # parallelism at the file count — spread it first (measured r7: a
+    # 16-file table capped the 32-thread level at 2× instead of 4×). At
+    # production scale the ingest writes many well-sized files and this
+    # is a no-op.
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if encoded.rdd.getNumPartitions() < shuffle_p:
+        encoded = encoded.repartition(shuffle_p)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _to_double(F.col("embedding")).alias("v")
     )
@@ -800,17 +865,20 @@ def _pq_topk(spark, sf_dir: str, encoded, k: int, n_queries: int):
             F.round(adc_sum / (F.col("qnorm") * F.col("vnorm")), 6).alias("adc"),
         )
     )
-    wc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("neighbor_id"))
-    cands = (
-        scored.withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") <= PQ_CANDS)
-        .select("query_id", "neighbor_id")
-    )
+    cands = _topk_per_query(
+        scored, [F.desc("adc"), F.col("neighbor_id")], PQ_CANDS
+    ).select("query_id", "neighbor_id")
     # re-rank: full vectors by id for survivors only (queries re-read from
-    # the tiny min/max-pruned query scan)
+    # the tiny min/max-pruned query scan). The candidate list is ≤
+    # n_queries × PQ_CANDS rows — BROADCAST it so the fetch is a
+    # streaming hash probe over the (column-pruned) vector scan, never a
+    # sort-merge shuffle of the fat corpus (planner stats don't know the
+    # window output is tiny until AQE runs; at 10^10 vectors the id list
+    # would also push into the source's bloom/zone-map skipping).
     qv = queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     rer = (
-        cands.join(emb, cands.neighbor_id == emb.vec_id)
+        F.broadcast(cands)
+        .join(emb, cands.neighbor_id == emb.vec_id)
         .join(F.broadcast(qv), "query_id")
         .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("v")).alias("cosine"))
     )
