@@ -88,3 +88,43 @@ def test_pq_codes_shape(spark):
         | (F.col("vnorm") <= 0)
     ).count()
     assert bad == 0
+
+
+def test_two_phase_topk_equals_single_window(spark):
+    """_topk_per_query's two-phase split must be output-identical to the
+    single global window for ANY physical partitioning — exercised on a
+    skewed synthetic frame (one hot query holding most rows, ties on the
+    order column) across three different partition layouts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark.operators.similarity import _topk_per_query
+
+    rows = []
+    for q in range(4):
+        n = 400 if q == 0 else 25  # skew: query 0 dominates
+        for i in range(n):
+            rows.append((q, i, float((i * 7) % 13)))  # heavy score ties
+    base = spark.createDataFrame(rows, "query_id int, neighbor_id int, score double")
+
+    order = [F.desc("score"), F.col("neighbor_id")]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    expected = sorted(
+        map(
+            tuple,
+            base.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
+            .collect(),
+        )
+    )
+    for parts in (1, 3, 17):
+        got = sorted(
+            map(
+                tuple,
+                _topk_per_query(base.repartition(parts), order, 10, "rank")
+                .select("query_id", "neighbor_id", "score", "rank")
+                .collect(),
+            )
+        )
+        assert got == expected, f"two-phase != single window at {parts} partitions"
