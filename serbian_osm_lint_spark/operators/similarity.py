@@ -812,18 +812,33 @@ def pq_code_table(spark, sf_dir: str):
 
 
 def _pq_topk(spark, sf_dir: str, encoded, k: int, n_queries: int):
-    """Shared ADC + re-rank tail over an encoded corpus (inline or stored).
-
-    ``encoded`` must have (vec_id, codes, vnorm). Query side (tiny,
-    broadcast): per subspace m a PQ_K-entry LUT of dot(q_sub, code_sub);
-    ADC-cosine of a corpus row is Σ_m lut_m[codes[m]] / (qnorm · vnorm),
-    rounded — ZERO vector math per (query, corpus) pair, just PQ_M array
-    lookups over the skinny scan. Top PQ_CANDS by (adc, id) → fetch full
-    vectors by id → exact-cosine top-k."""
-    from pyspark.sql import Window
+    """Shared ADC + re-rank tail for the batch faces: query set = the
+    ``vec_id < n_queries`` prefix of the corpus table; re-rank vectors
+    fetched from the same table. See :func:`pq_topk_frames`."""
     from pyspark.sql import functions as F
 
     cents = data_centroids(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _to_double(F.col("embedding")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries)
+    return pq_topk_frames(spark, encoded, queries, emb, cents, k)
+
+
+def pq_topk_frames(spark, encoded, queries, fetch, cents, k: int):
+    """Frame-parameterized ADC + re-rank core (shared by the batch faces
+    and the streaming incremental face).
+
+    ``encoded`` must have (vec_id, codes, vnorm); ``queries`` and
+    ``fetch`` must have (vec_id, v). Query side (tiny, broadcast): per
+    subspace m a PQ_K-entry LUT of dot(q_sub, code_sub); ADC-cosine of a
+    corpus row is Σ_m lut_m[codes[m]] / (qnorm · vnorm), rounded — ZERO
+    vector math per (query, corpus) pair, just PQ_M array lookups over
+    the skinny scan. Top PQ_CANDS by (adc, id) → fetch full vectors by
+    id from ``fetch`` → exact-cosine top-k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     # the ADC pass is the corpus-proportional stage: if the stored code
     # table was laid down with fewer files than this session has cores
     # (e.g. written by a narrower ingest job), the scan would cap map-side
@@ -834,10 +849,7 @@ def _pq_topk(spark, sf_dir: str, encoded, k: int, n_queries: int):
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if encoded.rdd.getNumPartitions() < shuffle_p:
         encoded = encoded.repartition(shuffle_p)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", _to_double(F.col("embedding")).alias("v")
-    )
-    queries = emb.filter(F.col("vec_id") < n_queries)
+    emb = fetch
     cb = _cb_lit(cents)  # one nested-array literal, memoized per codebook
     luts = queries.select(
         F.col("vec_id").alias("query_id"),

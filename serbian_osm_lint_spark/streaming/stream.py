@@ -295,3 +295,94 @@ def stream_media_features(spark, payloads_path: str, out_dir: str, checkpoint_di
     )
     stream.awaitTermination()
     return len(batches)
+
+
+def stream_ann_pq_incremental(
+    spark,
+    vectors_path: str,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    base_sf_dir: str,
+    k: int = None,
+):
+    """INCREMENTAL streaming PQ/ADC ANN: new vectors arrive over time,
+    the PQ code store GROWS with them, and every arrival is answered
+    with its top-k neighbors over the table-SO-FAR — the continuously-
+    ingesting similarity-search topology (e.g. near-dup screening of new
+    crawl shards against everything already ingested).
+
+    The codebook is FROZEN at ingest time (``data_centroids`` over the
+    base corpus — standard PQ practice: codebooks are trained once;
+    re-deriving per batch would silently re-encode history). Per
+    micro-batch:
+
+    1. the arrivals are PQ-encoded and APPENDED to the code store,
+       idempotently (``store_dir/batch_id=<id>`` overwrite — a replayed
+       batch rewrites identical bytes). The store keeps (vec_id, v,
+       codes, vnorm): vectors ride along so the re-rank fetch reads the
+       SAME table by id — column pruning keeps the ADC pass skinny
+       (vec_id, codes, vnorm only), the skinny-fetch topology;
+    2. the arrivals query the table-so-far (which includes this batch,
+       so batch-internal neighbors are found) through the SAME frame-
+       parameterized core as the batch faces
+       (:func:`~..operators.similarity.pq_topk_frames`) — per-arrival
+       cost is LUT build + ADC over the pruned store scan;
+    3. results land under ``out_dir/topk/batch_id=<id>`` (overwrite —
+       retry-safe like the append).
+
+    Contract (asserted in tests/test_resume_stream.py): wave i's output
+    ≡ the batch core run with (queries = wave i, corpus = waves 1..i) —
+    results are AS-OF arrival time and are not retroactively updated
+    when later neighbors arrive (append-only stores don't rewrite
+    history; re-screening is a batch re-run over the final store).
+
+    Returns the number of micro-batches executed this invocation."""
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity
+
+    topk = similarity.TOPK if k is None else k
+    cents = similarity.data_centroids(spark, base_sf_dir)
+    store_cols = ["vec_id", "v", "codes", "vnorm"]
+    batches = []
+
+    def process_batch(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        arrivals = batch_df.select(
+            "vec_id", similarity._to_double(F.col("embedding")).alias("v")
+        )
+        enc = arrivals.select(
+            "vec_id",
+            "v",
+            similarity.pq_codes_col(F.col("v"), cents).alias("codes"),
+            F.sqrt(similarity._dot(F.col("v"), F.col("v"))).alias("vnorm"),
+        )
+        write_batch_idempotent(enc, store_dir, batch_id)
+        # table-so-far INCLUDES this batch (read back after the append)
+        store = sess.read.parquet(store_dir).select(*store_cols)
+        queries = sess.read.parquet(
+            os.path.join(store_dir, f"batch_id={batch_id}")
+        ).select("vec_id", "v")
+        result = similarity.pq_topk_frames(
+            sess,
+            store.select("vec_id", "codes", "vnorm"),
+            queries,
+            store.select("vec_id", "v"),
+            cents,
+            topk,
+        )
+        write_batch_idempotent(result, os.path.join(out_dir, "topk"), batch_id)
+        batches.append(batch_id)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(vectors_path)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()
+    return len(batches)

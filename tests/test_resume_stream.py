@@ -650,3 +650,75 @@ def test_resume_generalizes_to_corpus_op(spark, out_dir):
     }
     assert resumed == single
     assert any(v[1] for v in single.values())
+
+
+def test_streaming_pq_ann_incremental_prefix_contract(spark, tmp_path):
+    """The incremental PQ/ANN face: arrivals are encoded + appended to
+    the code store and answered against the table-so-far. Contract:
+    wave i's streamed top-k ≡ the batch core (pq_topk_frames) run with
+    (queries = wave i, corpus = waves 1..i) under the FROZEN base-corpus
+    codebook — as-of-arrival results, never retroactively updated. A
+    checkpoint re-run adds nothing."""
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark.operators import similarity
+    from serbian_osm_lint_spark.streaming import stream
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cents = similarity.data_centroids(spark, SF_SMALL)
+    waves = [
+        emb.filter("vec_id < 150"),
+        emb.filter("vec_id >= 150 AND vec_id < 300"),
+        emb.filter("vec_id >= 300"),
+    ]
+
+    src = str(tmp_path / "arrivals")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def batch_prefix_expected(i):
+        prefix = emb.filter(f"vec_id < {150 * (i + 1)}" if i < 2 else "vec_id >= 0")
+        pv = prefix.select(
+            "vec_id", similarity._to_double(F.col("embedding")).alias("v")
+        )
+        enc = pv.select(
+            "vec_id",
+            "v",
+            similarity.pq_codes_col(F.col("v"), cents).alias("codes"),
+            F.sqrt(similarity._dot(F.col("v"), F.col("v"))).alias("vnorm"),
+        )
+        wave_q = waves[i].select(
+            "vec_id", similarity._to_double(F.col("embedding")).alias("v")
+        )
+        return similarity.pq_topk_frames(
+            spark,
+            enc.select("vec_id", "codes", "vnorm"),
+            wave_q,
+            enc.select("vec_id", "v"),
+            cents,
+            similarity.TOPK,
+        )
+
+    for i, wave in enumerate(waves):
+        wave.coalesce(1).write.mode("append").parquet(src)
+        assert stream.stream_ann_pq_incremental(
+            spark, src, store, out, ckpt, SF_SMALL
+        ) >= 1
+        got = sorted(
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in spark.read.parquet(os.path.join(out, "topk"))
+            .filter(f"batch_id = {i}")
+            .collect()
+        )
+        expected = sorted(
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in batch_prefix_expected(i).collect()
+        )
+        assert got == expected and len(got) > 0, f"wave {i} diverges from batch prefix"
+
+    # store grew to the full corpus; idempotent re-run adds nothing
+    assert spark.read.parquet(store).count() == emb.count()
+    n_results = spark.read.parquet(os.path.join(out, "topk")).count()
+    assert stream.stream_ann_pq_incremental(spark, src, store, out, ckpt, SF_SMALL) == 0
+    assert spark.read.parquet(os.path.join(out, "topk")).count() == n_results
