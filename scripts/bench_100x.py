@@ -248,6 +248,72 @@ def main():
         file=sys.stderr,
     )
 
+    # streamed PQ ANN wave (r7): 1.5 k novel vectors in 3 micro-batches
+    # against a code store seeded with the FULL 200 k-vector corpus — the
+    # continuously-ingesting similarity-search topology at the 100× point.
+    # Seed store carries (vec_id, v, codes, vnorm) like the streaming
+    # store schema (vectors ride along for the by-id re-rank fetch).
+    from pyspark.sql import functions as F
+
+    def build_pq_seed():
+        cents = similarity.data_centroids(spark, out)
+        pv = spark.read.parquet(os.path.join(out, "embeddings.parquet")).select(
+            "vec_id", similarity._to_double(F.col("embedding")).alias("v")
+        )
+        return pv.select(
+            "vec_id",
+            "v",
+            similarity.pq_codes_col(F.col("v"), cents).alias("codes"),
+            F.sqrt(similarity._dot(F.col("v"), F.col("v"))).alias("vnorm"),
+        )
+
+    pq_seed_key = f"pq_stream_seed_{SCALE}x_v1"
+    catalog.cached_table(spark, pq_seed_key, build_pq_seed)  # untimed ingest
+    pq_seed_src = os.path.join(catalog._cache_root(), pq_seed_key)
+    pq_arrivals = os.path.join(catalog._cache_root(), "pq_wave_arrivals_v1")
+    if not os.path.exists(os.path.join(pq_arrivals, "_WAVE_READY")):
+        nov = spark.range(0, 1_500, 1, 4).select(
+            (F.col("id") + 10_000_000).alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(similarity.EMB_DIM)),
+                lambda i: (
+                    (F.pmod(F.xxhash64(F.col("id") * 977 + i.cast("long")), F.lit(2000)) - 1000)
+                    / 1000.0
+                ).cast("float"),
+            ).alias("embedding"),
+            F.pmod(F.col("id"), F.lit(10)).cast("int").alias("label"),
+        )
+        for i in range(3):
+            nov.filter(F.pmod("vec_id", F.lit(3)) == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(pq_arrivals)
+        open(os.path.join(pq_arrivals, "_WAVE_READY"), "w").close()
+
+    pq_wave_runs = []
+    for _ in range(N_RUNS):
+        scratch = tempfile.mkdtemp(prefix="pqwave_", dir=catalog._cache_root())
+        store_dir = os.path.join(scratch, "store")
+        os.makedirs(store_dir)
+        os.symlink(pq_seed_src, os.path.join(store_dir, "batch_id=-1"))
+        t0 = time.perf_counter()
+        n = stream.stream_ann_pq_incremental(
+            spark,
+            pq_arrivals,
+            store_dir,
+            os.path.join(scratch, "out"),
+            os.path.join(scratch, "ckpt"),
+            out,
+        )
+        pq_wave_runs.append(round(time.perf_counter() - t0, 3))
+        assert n == 3, f"expected 3 micro-batches, got {n}"
+        shutil.rmtree(scratch, ignore_errors=True)
+    timings["stream_pq_ann_wave"] = round(statistics.median(pq_wave_runs), 3)
+    samples["stream_pq_ann_wave"] = pq_wave_runs
+    print(
+        f"# stream_pq_ann_wave: {timings['stream_pq_ann_wave']}s {pq_wave_runs}",
+        file=sys.stderr,
+    )
+
     calib_after = bench.calibrate(spark)
     contended = max(calib_before, calib_after) > bench.CONTENDED_FACTOR * bench.CALIB_QUIET_S
 
