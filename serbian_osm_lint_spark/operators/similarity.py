@@ -993,3 +993,40 @@ def sql_ann_pq_topk(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
       FROM rer
     ) WHERE rank <= {k}
     """
+
+
+def resumable_pq_screen(
+    spark, sf_dir: str, out_dir: str, n_buckets: int = 8, k: int = TOPK, fail_after=None
+):
+    """Full-corpus PQ self-screen, resumable by QUERY bucket — the ops
+    story behind "re-screen everything we ever ingested": every corpus
+    vector is a query, answered with its exact-cosine top-``k`` over the
+    stored code table, and the job composes :func:`~..streaming.resume.
+    run_resumable`'s bucket manifest with :func:`pq_topk_frames` (the
+    r6 stretch pattern — resumable pair generation — applied to ANN).
+
+    A killed run resumes at the bucket boundary: completed buckets are
+    skipped (their row counts ride the resume manifest), and each
+    bucket's per-query cost is the same pruned ADC scan as the batch
+    face — at 10^10 vectors this is the only sane shape for an
+    all-corpus screen, since no single job survives that wall-clock.
+    Returns the number of buckets processed this run."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.resume import run_resumable
+
+    cents = data_centroids(spark, sf_dir)
+    encoded = pq_code_table(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _to_double(F.col("embedding")).alias("v")
+    )
+    # run_resumable's ad-hoc hash bucketing keys on doc_id
+    queries_all = emb.select(F.col("vec_id").alias("doc_id"), "v")
+
+    def process_fn(sess, subset):
+        q = subset.select(F.col("doc_id").alias("vec_id"), "v")
+        return pq_topk_frames(sess, encoded, q, emb, cents, k)
+
+    return run_resumable(
+        spark, queries_all, process_fn, out_dir, n_buckets=n_buckets, fail_after=fail_after
+    )

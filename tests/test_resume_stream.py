@@ -722,3 +722,47 @@ def test_streaming_pq_ann_incremental_prefix_contract(spark, tmp_path):
     n_results = spark.read.parquet(os.path.join(out, "topk")).count()
     assert stream.stream_ann_pq_incremental(spark, src, store, out, ckpt, SF_SMALL) == 0
     assert spark.read.parquet(os.path.join(out, "topk")).count() == n_results
+
+
+def test_resumable_pq_screen_kill_and_resume(spark, tmp_path):
+    """Full-corpus PQ self-screen composed with the bucket manifest
+    (similarity.resumable_pq_screen): kill after 3 of 8 query buckets,
+    resume runs exactly the remaining 5, and the final table equals the
+    direct batch core over ALL queries — no missing queries, no
+    double-processing."""
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark.operators import similarity
+
+    out = str(tmp_path / "screen")
+    with pytest.raises(RuntimeError, match="injected failure after 3"):
+        similarity.resumable_pq_screen(spark, SF_SMALL, out, n_buckets=8, fail_after=3)
+    n2 = similarity.resumable_pq_screen(spark, SF_SMALL, out, n_buckets=8)
+    assert n2 == 5
+
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in spark.read.parquet(os.path.join(out, "bucket=*")).collect()
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", similarity._to_double(F.col("embedding")).alias("v")
+    )
+    cents = similarity.data_centroids(spark, SF_SMALL)
+    expected = sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in similarity.pq_topk_frames(
+            spark,
+            similarity.pq_code_table(spark, SF_SMALL),
+            emb,
+            emb,
+            cents,
+            similarity.TOPK,
+        ).collect()
+    )
+    assert got == expected
+    assert len(got) == len(set(got))  # no double-processed bucket rows
+    assert {q for q, *_ in got} == {r.vec_id for r in emb.select("vec_id").collect()}
+
+    # a third run finds nothing to do
+    assert similarity.resumable_pq_screen(spark, SF_SMALL, out, n_buckets=8) == 0
