@@ -109,14 +109,46 @@ def _chain_col(col, chain):
     return out
 
 
+def _split_chain(chain):
+    """Partition a replace chain into (multi-char entries, 1:1 entries).
+
+    The 1:1 tail can run as ONE ``translate`` pass instead of a replace
+    per entry WHEN the chain is order-independent over those entries:
+    all sources distinct single chars and no entry's output re-enters any
+    later source (true for all three chains here — each maps between
+    disjoint scripts). Callers assert the precondition structurally by
+    construction of the constant tables; parity with the ``*_py`` faces
+    is pinned by tests."""
+    multi = [(s, d) for s, d in chain if len(s) > 1 or len(d) > 1]
+    singles = [(s, d) for s, d in chain if len(s) == 1 and len(d) == 1]
+    return multi, singles
+
+
+def _chain_col_fast(col, chain):
+    """Replace chain with the 1:1 entries fused into one ``translate``
+    (guide §1.2 per-task work: the old form scanned the string once per
+    table entry — 60 passes for cyr2lat; this is ≤ 7)."""
+    from pyspark.sql import functions as F
+
+    multi, singles = _split_chain(chain)
+    out = _chain_col(col, multi)
+    if singles:
+        out = F.translate(
+            out, "".join(s for s, _ in singles), "".join(d for _, d in singles)
+        )
+    return out
+
+
 def cyr2lat_col(col):
-    """Column: cyr2lat as a literal-replace chain (codegen-friendly).
+    """Column: cyr2lat — digraph-output replaces (Љ/Њ/Џ cases) + one
+    ``translate`` pass for the 54 single-char entries (codegen-friendly).
 
     Order-independent vs the per-char table map: inputs are distinct
-    Cyrillic chars, outputs contain no Cyrillic, so chained literal
-    replaces ≡ single-pass char map.
+    Cyrillic chars, outputs contain no Cyrillic, so replaces + a
+    single-pass char map ≡ the chained 60-replace form (parity pinned by
+    tests against :func:`cyr2lat_py`).
     """
-    return _chain_col(col, list(CYR_TO_LAT.items()))
+    return _chain_col_fast(col, list(CYR_TO_LAT.items()))
 
 
 def has_cyrillic_col(col):
@@ -126,11 +158,15 @@ def has_cyrillic_col(col):
 
 
 def lat2cyr_col(col):
-    return _chain_col(col, LAT2CYR_CHAIN)
+    """Digraph replaces first (preserving the SPARQL chain order), then
+    one ``translate`` for the 54 Latin→Cyrillic singles — the singles are
+    order-independent (sources Latin, outputs Cyrillic, disjoint), so
+    fusing them preserves the quirk-exact chain semantics."""
+    return _chain_col_fast(col, LAT2CYR_CHAIN)
 
 
 def romanize_col(col):
-    return _chain_col(col, ROMANIZE_CHAIN)
+    return _chain_col_fast(col, ROMANIZE_CHAIN)
 
 
 def latin_name_col(col):

@@ -695,21 +695,49 @@ def simhash_near_dup_pairs_from(sig):
 
     EXACT recall by pigeonhole: a pair within hamming ≤ 3 has its ≤ 3
     differing bits in at most 3 of the 4 bands, so at least one band is
-    bit-identical and the pair collides there. Cost: a fixed 4× explode
-    feeding ONE (band, bucket) equi-join — never all-pairs; a pair
-    agreeing on several bands is deduped by the final ``distinct``.
-    Under an AQE broadcast self-join the pandas-UDF signature subtree
-    executes once per side (no common exchange to reuse) — measured
-    CHEAPER at bench scales than a lazy ``localCheckpoint``
-    materialization (2.5 s vs 6.5 s, r5: the checkpoint job + AQE-blind
-    ``ExistingRDD`` rescan cost more than the second UDF pass), and
-    ``.cache()`` on the signature frame was also measured a wash
-    (median 4.37 s vs 4.79 s plain at sf0.1, inside run-to-run spread —
-    not worth the executor-memory pressure); the
-    100 TB shape writes the signature table once and pairs from the
-    stored table instead."""
+    bit-identical and the pair collides there.
+
+    r8 topology (guide §2.3/§2.5 — shuffle fewer bytes, collapse hot
+    keys): hamming is a function of the SIGNATURES alone, so the band
+    self-join runs at DISTINCT-signature granularity. Docs are first
+    grouped by simhash (one exchange; each group carries its doc_id
+    list), the 4-band equi-join + hamming filter runs over unique
+    signatures, and doc pairs are expanded afterwards:
+
+      * cross pairs — one sig pair (s_a < s_b, ham ≤ r) × ids_a × ids_b,
+        canonicalized to (least, greatest);
+      * within pairs — identical-signature clusters (ham = 0) expand
+        combinatorially with ``id_a < id_b``.
+
+    Every doc has exactly one signature, so a doc pair maps to exactly
+    one unordered sig pair (or one cluster) — the expansion introduces
+    no duplicates and the union equals the doc-level distinct join
+    row-for-row. Why it matters: natural text clusters on identical
+    signatures, so doc-level band buckets go quadratic in cluster size
+    (measured sf1.0: 62k docs / 37k distinct sigs, hottest (band,
+    bucket) held 19,264 DOCS but only 4,208 sigs — ~703M doc-level
+    candidate pairs vs ~61M sig-level, 11×; the old shape benched 7.1 s,
+    this one ~2 s). The grouped frame is also the only subtree the
+    recompute face's pandas-UDF signature pass feeds, and every consumer
+    (both join sides, both expansion fetches) hangs off the SAME
+    ``groupBy(simhash)`` exchange, which Spark's ReuseExchange
+    deduplicates — the UDF executes once, not once per side as the old
+    self-join did. A pair agreeing on several bands is deduped by the
+    sig-pair ``distinct`` (tiny: pairs surviving the hamming filter)."""
     from pyspark.sql import functions as F
 
+    n_parts = int(sig.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # explicit spread: the grouped frame is tiny in BYTES (16 B + ids per
+    # sig), so AQE coalesces its exchange to ~1 partition — and then the
+    # band-join PROBE side (60M+ candidate evals at sf1.0) and the pair
+    # expansion would run nearly single-threaded. An explicit repartition
+    # is exempt from AQE coalescing and pins full task parallelism; the
+    # exchange itself moves ~16 B/doc.
+    groups = (
+        sig.groupBy("simhash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .repartition(n_parts)
+    )
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = F.array(
         *[
@@ -717,21 +745,49 @@ def simhash_near_dup_pairs_from(sig):
             for i in range(N_SIMHASH_BANDS)
         ]
     )
-    b = sig.select("doc_id", "simhash", F.posexplode(bands).alias("band", "bucket"))
-    left = b.select(
-        "band", "bucket", F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("s_a")
-    )
-    right = b.select(
-        "band", "bucket", F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("s_b")
-    )
+    b = groups.select("simhash", F.posexplode(bands).alias("band", "bucket"))
+    left = b.select("band", "bucket", F.col("simhash").alias("s_a"))
+    right = b.select("band", "bucket", F.col("simhash").alias("s_b"))
     ham = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
-    return (
+    sig_pairs = (
         left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("s_a") < F.col("s_b"))
+        .select("s_a", "s_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_R)
         .distinct()
+        .repartition(n_parts)  # same AQE-coalesce guard for the expansion probe
     )
+    ga = groups.select(F.col("simhash").alias("s_a"), F.col("ids").alias("ids_a"))
+    gb = groups.select(F.col("simhash").alias("s_b"), F.col("ids").alias("ids_b"))
+    # explode ids_a first, then ROUND-ROBIN repartition before the second
+    # explode: all rows of one sig pair land in one task after the first
+    # explode, and a hot pair (big cluster × big cluster) would otherwise
+    # expand single-threaded (guide §2.5 — explode skew).
+    cross = (
+        sig_pairs.join(ga, "s_a")
+        .join(gb, "s_b")
+        .select(F.explode("ids_a").alias("id_a"), "ids_b", "hamming")
+        .repartition(n_parts)
+        .select("id_a", F.explode("ids_b").alias("id_b"), "hamming")
+        .select(
+            F.least("id_a", "id_b").alias("doc_id_a"),
+            F.greatest("id_a", "id_b").alias("doc_id_b"),
+            "hamming",
+        )
+    )
+    within = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .repartition(n_parts)
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def simhash_near_dups_df(spark, sf_dir: str):
