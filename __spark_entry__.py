@@ -46,7 +46,11 @@ _SQL_VT_DOC = (
 def _q_text_profile(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    from serbian_osm_lint_spark.operators.corpus import _docs_spread
+
+    # single-row-group driver table: spread the scan so the per-row text
+    # expressions parallelize (see corpus._docs_spread)
+    docs = _docs_spread(spark, sf_dir)
     vt = spark.range(1).select(
         F.lit(-1).cast("long").alias("doc_id"), F.lit(_VT_DOC_TEXT).alias("text")
     )

@@ -47,10 +47,30 @@ def _inject_pii(docs):
     )
 
 
+def _docs_spread(spark, sf_dir: str):
+    """``documents.parquet`` spread across the cluster (guide §2.5 input
+    skew / §6 split size): the driver table is a SINGLE row group, so the
+    scan plans as ONE partition and every per-row stage downstream (regex
+    splits, gram hashing, redaction) runs single-threaded — measured at
+    sf1.0 the 13-gram decontamination pass spent ~5 s on one core. One
+    round-robin exchange of the raw (doc_id, text) rows buys full task
+    parallelism for everything above it (a real 100 TB table arrives
+    pre-split into many files/row-groups and skips this)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        # keyless round-robin deliberately: a doc_id-keyed repartition lets
+        # the optimizer push per-row work below the exchange onto the 1-2
+        # scan tasks (measured r8 on the dedup corpus: +2.3 s)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    )
+
+
 def with_injected_pii_df(spark, sf_dir: str):
     """documents with the deterministic contact lines appended."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    return _inject_pii(docs)
+    return _inject_pii(_docs_spread(spark, sf_dir))
 
 
 def _sql_inject_pii(src: str) -> str:
@@ -153,9 +173,7 @@ def training_shard_df(spark, sf_dir: str):
     from ..functions.text import fingerprint_col, lang_id_col, token_count_cols
     from .dedup import components_from, lsh_verified_pairs_from
 
-    raw = _inject_pii(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    )
+    raw = _inject_pii(_docs_spread(spark, sf_dir))
     exact = raw.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
@@ -348,7 +366,7 @@ def with_contamination_df(spark, sf_dir: str):
     the same planted-positive pattern as the dedup corpora."""
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs_spread(spark, sf_dir)
     plants = docs.filter(F.col("doc_id") % 9 == 0).select(
         (F.col("doc_id") + 4000000).alias("doc_id"), "text"
     )
@@ -500,7 +518,7 @@ def vocab_topk_df(spark, sf_dir: str, k: int = VOCAB_TOPK):
 
     from .dedup import words_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs_spread(spark, sf_dir)
     w = (
         docs.select("doc_id", words_col(F.col("text")).alias("w"))
         .select("doc_id", F.explode("w").alias("token"))

@@ -125,6 +125,9 @@ def with_near_dups_df(spark, sf_dir: str):
     # single-file parquet scans read as ONE partition; the md5/shingle
     # work is CPU-bound, so spread rows across the cluster first (a real
     # 100 TB table arrives pre-split into many files/row-groups).
+    # KEYLESS round-robin deliberately: a doc_id-keyed repartition lets
+    # the optimizer push the signature projections below the exchange,
+    # where they run on the 1-2 scan tasks (measured r8: +2.3 s).
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text")
@@ -736,7 +739,7 @@ def simhash_near_dup_pairs_from(sig):
     groups = (
         sig.groupBy("simhash")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .repartition(n_parts)
+        .repartition(n_parts)  # keyless: a simhash-keyed repartition would collapse into the agg exchange and AQE-coalesce to ~1 partition
     )
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = F.array(
@@ -792,8 +795,19 @@ def simhash_near_dup_pairs_from(sig):
 
 def simhash_near_dups_df(spark, sf_dir: str):
     """SimHash near-dup pairs (doc_id_a, doc_id_b, hamming) with exact
-    recall at hamming ≤ r — see :func:`simhash_near_dup_pairs_from`."""
-    return simhash_near_dup_pairs_from(simhash_df(spark, sf_dir))
+    recall at hamming ≤ r — see :func:`simhash_near_dup_pairs_from`.
+
+    The signature frame is lazily ``localCheckpoint``-ed first: the
+    sig-level pair machinery hangs five consumers off it, and without the
+    plan cut the pandas-UDF signature pass re-executes per consumer
+    (measured r8 at sf1.0: 7.0 s → 5.3 s with the cut). Unlike the FAT
+    shingle frames where r5 measured checkpointing a loss, the simhash
+    frame is 16 bytes/doc — serializing it is ~free. Within-query only:
+    every fresh plan builds (and computes) its own checkpoint, so no
+    state crosses bench runs."""
+    return simhash_near_dup_pairs_from(
+        simhash_df(spark, sf_dir).localCheckpoint(eager=False)
+    )
 
 
 #: bump when the simhash derivation changes (invalidates stored tables).
@@ -851,13 +865,9 @@ def with_emb_dups_df(spark, sf_dir: str):
     id offset +10^6) — deterministic live positives for near-dup ops."""
     from pyspark.sql import functions as F
 
-    from .similarity import EMB_DIM, _to_double
+    from .similarity import EMB_DIM, _emb_spread
 
-    emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select("vec_id", _to_double(F.col("embedding")).alias("v"))
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
-    )
+    emb = _emb_spread(spark, sf_dir)
     perturbed = emb.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.concat(
@@ -933,21 +943,27 @@ def emb_near_dup_pairs_from(emb, n_planes: int, multiprobe: bool = True, n_sets:
     identical across sets)."""
     from pyspark.sql import functions as F
 
-    from .similarity import N_PLANE_SETS, _cosine
+    from .similarity import N_PLANE_SETS, _cosine_pre, _norm
 
     if n_sets is None:
         n_sets = N_PLANE_SETS
+    emb = emb.withColumn("_n", _norm(F.col("v")))  # per-vector norm, hoisted
     a = emb.select(
         F.explode(probe_set_buckets_col(F.col("v"), n_planes, n_sets, multiprobe)).alias("p"),
         F.col("vec_id").alias("vec_id_a"),
         F.col("v").alias("va"),
-    ).select(F.col("p.set_id").alias("set_id"), F.col("p.bucket").alias("bucket"), "vec_id_a", "va")
+        F.col("_n").alias("na"),
+    ).select(
+        F.col("p.set_id").alias("set_id"), F.col("p.bucket").alias("bucket"),
+        "vec_id_a", "va", "na",
+    )
     b = emb.select(
         F.posexplode(set_buckets_col(F.col("v"), n_planes, n_sets)).alias("set_id", "bucket"),
         F.col("vec_id").alias("vec_id_b"),
         F.col("v").alias("vb"),
+        F.col("_n").alias("nb"),
     )
-    cos = _cosine(F.col("va"), F.col("vb"))
+    cos = _cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         a.join(b, ["set_id", "bucket"])
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
@@ -1036,7 +1052,7 @@ def embedding_near_dups_stored_df(spark, sf_dir: str):
     """
     from pyspark.sql import functions as F
 
-    from .similarity import _cosine
+    from .similarity import _cosine_pre, _norm
 
     tbl, n_planes = emb_bucket_table(spark, sf_dir)
     a = tbl.select(
@@ -1052,10 +1068,16 @@ def embedding_near_dups_stored_df(spark, sf_dir: str):
         .distinct()
     )
     # one (vec_id, v) row per vector: any single plane set's rows cover all
-    vecs = tbl.filter(F.col("set_id") == 0).select("vec_id", "v")
-    va = vecs.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
-    vb = vecs.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
-    cos = _cosine(F.col("va"), F.col("vb"))
+    vecs = tbl.filter(F.col("set_id") == 0).select(
+        "vec_id", "v", _norm(F.col("v")).alias("_n")
+    )
+    va = vecs.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"), F.col("_n").alias("na")
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"), F.col("_n").alias("nb")
+    )
+    cos = _cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         cand.join(va, "vec_id_a")
         .join(vb, "vec_id_b")
@@ -1259,9 +1281,10 @@ def dedup_components_multi_df(spark, sf_dir: str):
     O(log n) rounds in the size of the LARGEST merged component.
     """
     mh = minhash_lsh_pairs_df(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    sh = simhash_near_dup_pairs_from(simhash_df(spark, sf_dir)).select(
-        "doc_id_a", "doc_id_b"
-    )
+    # same skinny-frame plan cut as simhash_near_dups_df (UDF once)
+    sh = simhash_near_dup_pairs_from(
+        simhash_df(spark, sf_dir).localCheckpoint(eager=False)
+    ).select("doc_id_a", "doc_id_b")
     return components_from(mh.unionByName(sh))
 
 

@@ -66,15 +66,57 @@ def _dot(a, b):
 
 
 def _to_double(col):
+    """float[] → double[] as ONE native array cast. The old per-element
+    ``transform(x -> cast)`` ran interpreted (higher-order functions have
+    no codegen) at ~13 μs/row measured — the native Cast widens each
+    element identically (same IEEE value, asserted equal in tests) inside
+    whole-stage codegen."""
+    return col.cast("array<double>")
+
+
+def _emb_spread(spark, sf_dir: str):
+    """The embeddings table as (vec_id, v:double[]) spread across the
+    cluster. The driver file is 1-2 row groups, so the raw scan plans as
+    1-2 tasks (guide §2.5 input skew); HASH repartition on vec_id spreads
+    it without round-robin's sort-before-repartition pass (the map side
+    of a keyless repartition must locally sort entire rows — measured
+    ~1.2 s of the old IVF wall clock on the 2 scan tasks). Floats cross
+    the exchange; the double cast runs post-shuffle on full parallelism."""
     from pyspark.sql import functions as F
 
-    return F.transform(col, lambda x: x.cast("double"))
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .repartition(n, "vec_id")
+        .select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    )
 
 
 def _cosine(a, b):
     from pyspark.sql import functions as F
 
     return F.round(_dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6)
+
+
+def _norm(v):
+    """sqrt(v·v) — the per-vector factor of :func:`_cosine`."""
+    from pyspark.sql import functions as F
+
+    return F.sqrt(_dot(v, v))
+
+
+def _cosine_pre(a, b, na, nb):
+    """Cosine from PRE-HOISTED per-vector norms (guide §1.2): pair joins
+    evaluate the cosine once per candidate pair, and two of its three
+    dot products (a·a, b·b) depend on one side only — hoisting
+    ``sqrt(dot)`` into the per-vector projections cuts per-pair array
+    work to ONE dot. Same expression tail over identical inputs
+    (``round(dot / (na * nb), 6)``), so the double result is
+    bit-identical to :func:`_cosine`."""
+    from pyspark.sql import functions as F
+
+    return F.round(_dot(a, b) / (na * nb), 6)
 
 
 #: hyperplane-literal memo, keyed by (n_planes, plane_set): like the PQ/IVF
@@ -199,19 +241,15 @@ def ann_cosine_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUE
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select("vec_id", _to_double(F.col("embedding")).alias("v"))
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
-    )
+    emb = _emb_spread(spark, sf_dir).withColumn("vn", _norm(F.col("v")))
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn")
     )
     pairs = emb.crossJoin(F.broadcast(queries)).filter(F.col("vec_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        _cosine_pre(F.col("qv"), F.col("v"), F.col("qn"), F.col("vn")).alias("cosine"),
     )
     return _topk_per_query(
         scored, [F.desc("cosine"), F.col("neighbor_id")], k, "rank"
@@ -232,8 +270,10 @@ def ann_lsh_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIE
     from .dedup import n_planes_for, probe_set_buckets_col, set_buckets_col
 
     n_planes = n_planes_for(parquet_row_count(f"{sf_dir}/embeddings.parquet"))
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", _to_double(F.col("embedding")).alias("v")
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", _to_double(F.col("embedding")).alias("v"))
+        .withColumn("vn", _norm(F.col("v")))
     )
     corpus = emb.select(
         F.posexplode(set_buckets_col(F.col("v"), n_planes, N_PLANE_SETS)).alias(
@@ -241,6 +281,7 @@ def ann_lsh_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIE
         ),
         "vec_id",
         "v",
+        "vn",
     )
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.explode(
@@ -248,11 +289,13 @@ def ann_lsh_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIE
         ).alias("p"),
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
     ).select(
         F.col("p.set_id").alias("set_id"),
         F.col("p.bucket").alias("bucket"),
         "query_id",
         "qv",
+        "qn",
     )
     cand = corpus.join(F.broadcast(queries), ["set_id", "bucket"]).filter(
         F.col("vec_id") != F.col("query_id")
@@ -260,7 +303,7 @@ def ann_lsh_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIE
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        _cosine_pre(F.col("qv"), F.col("v"), F.col("qn"), F.col("vn")).alias("cosine"),
     ).distinct()  # a candidate found by several sets/probes scores once
     return _topk_per_query(
         scored, [F.desc("cosine"), F.col("neighbor_id")], k, "rank"
@@ -411,15 +454,12 @@ def ann_ivf_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIE
     from pyspark.sql import functions as F
 
     cents = data_centroids(spark, sf_dir)
-    emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select("vec_id", _to_double(F.col("embedding")).alias("v"))
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
-    )
+    emb = _emb_spread(spark, sf_dir)
     scored = emb.withColumn("cscores", centroid_scores_col(F.col("v"), cents))
     corpus = scored.select(
         "vec_id",
         "v",
+        _norm(F.col("v")).alias("vn"),
         F.array_position(F.col("cscores"), F.array_max("cscores")).alias("cell"),
     )
     # queries: top-N_PROBE centroids each (explode + window — engine-robust
@@ -427,13 +467,14 @@ def ann_ivf_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIE
     qs = scored.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
         F.posexplode("cscores").alias("pos", "score"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("pos"))
     probes = (
         qs.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= N_PROBE)
-        .select("query_id", "qv", (F.col("pos") + 1).alias("cell"))
+        .select("query_id", "qv", "qn", (F.col("pos") + 1).alias("cell"))
     )
     cand = corpus.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
@@ -441,7 +482,7 @@ def ann_ivf_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIE
     scored_pairs = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        _cosine_pre(F.col("qv"), F.col("v"), F.col("qn"), F.col("vn")).alias("cosine"),
     )
     return _topk_per_query(
         scored_pairs, [F.desc("cosine"), F.col("neighbor_id")], k, "rank"
@@ -449,7 +490,9 @@ def ann_ivf_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIE
 
 
 #: bump when the IVF assignment derivation changes (invalidates stored tables).
-IVF_VERSION = "v1"
+#: v2: + stored per-vector norm (vnorm) — the per-pair re-rank cosine needs
+#: one dot instead of three (guide §1.2; same bits, hoisted).
+IVF_VERSION = "v2"
 
 
 def ivf_assignment_table(spark, sf_dir: str):
@@ -476,15 +519,12 @@ def ivf_assignment_table(spark, sf_dir: str):
     path = f"{sf_dir}/embeddings.parquet"
 
     def build():
-        emb = (
-            spark.read.parquet(path)
-            .select("vec_id", _to_double(F.col("embedding")).alias("v"))
-            .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
-        )
+        emb = _emb_spread(spark, sf_dir)
         scored = emb.withColumn("cscores", centroid_scores_col(F.col("v"), cents))
         return scored.select(
             "vec_id",
             "v",
+            _norm(F.col("v")).alias("vnorm"),
             F.array_position(F.col("cscores"), F.array_max("cscores")).alias("cell"),
         )
 
@@ -521,13 +561,14 @@ def ann_ivf_topk_stored_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N
     qs = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
         F.posexplode(centroid_scores_col(F.col("v"), cents)).alias("pos", "score"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("pos"))
     probes = (
         qs.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= N_PROBE)
-        .select("query_id", "qv", (F.col("pos") + 1).alias("cell"))
+        .select("query_id", "qv", "qn", (F.col("pos") + 1).alias("cell"))
     )
     cand = corpus.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
@@ -535,7 +576,7 @@ def ann_ivf_topk_stored_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N
     scored_pairs = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        _cosine_pre(F.col("qv"), F.col("v"), F.col("qn"), F.col("vnorm")).alias("cosine"),
     )
     return _topk_per_query(
         scored_pairs, [F.desc("cosine"), F.col("neighbor_id")], k, "rank"
@@ -775,11 +816,7 @@ def _pq_encoded(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     cents = data_centroids(spark, sf_dir)
-    emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select("vec_id", _to_double(F.col("embedding")).alias("v"))
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
-    )
+    emb = _emb_spread(spark, sf_dir)
     return emb.select(
         "vec_id",
         "v",

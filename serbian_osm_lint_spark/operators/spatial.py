@@ -280,31 +280,40 @@ def knn_dup_names_df(spark, docs, k: int = 5, zoom: int = CELL_ZOOM):
     from pyspark.sql import functions as F
 
     ent = with_flat_entity(docs)
+    # per-POINT trig hoisted out of the pair join (guide §1.2): radians +
+    # cos(lat) are computed once per entity, not once per candidate pair
     pts = ent.select(
         "doc_id",
         F.col("a_name").alias("name"),
-        "lat",
-        "lon",
+        F.radians("lat").alias("rlat"),
+        F.radians("lon").alias("rlon"),
+        F.cos(F.radians("lat")).alias("clat"),
         tile_x_col(F.col("lon"), zoom).alias("cx"),
         tile_y_col(F.col("lat"), zoom).alias("cy"),
     ).filter(F.coalesce(F.col("name"), F.lit("")) != "")
     left = pts.select(
         F.col("doc_id").alias("doc_id_a"),
         F.col("name"),
-        F.col("lat").alias("lat_a"),
-        F.col("lon").alias("lon_a"),
+        F.col("rlat").alias("rlat_a"),
+        F.col("rlon").alias("rlon_a"),
+        F.col("clat").alias("clat_a"),
         F.explode(geo.neighbor_cells_col(F.col("cx"), F.col("cy"), zoom)).alias("cell_id"),
     )
     right = pts.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("name"),
-        F.col("lat").alias("lat_b"),
-        F.col("lon").alias("lon_b"),
+        F.col("rlat").alias("rlat_b"),
+        F.col("rlon").alias("rlon_b"),
+        F.col("clat").alias("clat_b"),
         (F.shiftleft(F.col("cx"), zoom) + F.col("cy")).alias("cell_id"),
     )
     pairs = left.join(right, ["cell_id", "name"]).filter(F.col("doc_id_a") < F.col("doc_id_b"))
     dist = F.round(
-        haversine_km_col(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")), 6
+        geo.haversine_km_hoisted_col(
+            F.col("rlat_a"), F.col("rlon_a"), F.col("clat_a"),
+            F.col("rlat_b"), F.col("rlon_b"), F.col("clat_b"),
+        ),
+        6,
     )
     w = Window.partitionBy("doc_id_a").orderBy(F.col("dist_km"), F.col("doc_id_b"))
     return (
@@ -338,8 +347,9 @@ def translit_dup_names_df(spark, docs, k: int = 5, zoom: int = CELL_ZOOM):
         "doc_id",
         F.col("a_name").alias("name"),
         F.lower(cyr2lat_col(F.col("a_name"))).alias("norm_name"),
-        "lat",
-        "lon",
+        F.radians("lat").alias("rlat"),
+        F.radians("lon").alias("rlon"),
+        F.cos(F.radians("lat")).alias("clat"),
         tile_x_col(F.col("lon"), zoom).alias("cx"),
         tile_y_col(F.col("lat"), zoom).alias("cy"),
     ).filter(F.coalesce(F.col("name"), F.lit("")) != "")
@@ -347,23 +357,29 @@ def translit_dup_names_df(spark, docs, k: int = 5, zoom: int = CELL_ZOOM):
         F.col("doc_id").alias("doc_id_a"),
         F.col("name").alias("name_a"),
         "norm_name",
-        F.col("lat").alias("lat_a"),
-        F.col("lon").alias("lon_a"),
+        F.col("rlat").alias("rlat_a"),
+        F.col("rlon").alias("rlon_a"),
+        F.col("clat").alias("clat_a"),
         F.explode(geo.neighbor_cells_col(F.col("cx"), F.col("cy"), zoom)).alias("cell_id"),
     )
     right = pts.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("name").alias("name_b"),
         "norm_name",
-        F.col("lat").alias("lat_b"),
-        F.col("lon").alias("lon_b"),
+        F.col("rlat").alias("rlat_b"),
+        F.col("rlon").alias("rlon_b"),
+        F.col("clat").alias("clat_b"),
         (F.shiftleft(F.col("cx"), zoom) + F.col("cy")).alias("cell_id"),
     )
     pairs = left.join(right, ["cell_id", "norm_name"]).filter(
         (F.col("doc_id_a") < F.col("doc_id_b")) & (F.col("name_a") != F.col("name_b"))
     )
     dist = F.round(
-        haversine_km_col(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")), 6
+        geo.haversine_km_hoisted_col(
+            F.col("rlat_a"), F.col("rlon_a"), F.col("clat_a"),
+            F.col("rlat_b"), F.col("rlon_b"), F.col("clat_b"),
+        ),
+        6,
     )
     w = Window.partitionBy("doc_id_a").orderBy(F.col("dist_km"), F.col("doc_id_b"))
     return (
@@ -432,16 +448,18 @@ def knn_dup_names_capped_df(spark, docs, k: int = 5, zoom: int = CELL_ZOOM, cap:
     pts = ent.select(
         "doc_id",
         F.col("a_name").alias("name"),
-        "lat",
-        "lon",
+        F.radians("lat").alias("rlat"),
+        F.radians("lon").alias("rlon"),
+        F.cos(F.radians("lat")).alias("clat"),
         tile_x_col(F.col("lon"), zoom).alias("cx"),
         tile_y_col(F.col("lat"), zoom).alias("cy"),
     ).filter(F.coalesce(F.col("name"), F.lit("")) != "")
     left = pts.select(
         F.col("doc_id"),
         F.col("name"),
-        F.col("lat").alias("lat_a"),
-        F.col("lon").alias("lon_a"),
+        F.col("rlat").alias("rlat_a"),
+        F.col("rlon").alias("rlon_a"),
+        F.col("clat").alias("clat_a"),
         F.explode(geo.neighbor_cells_col(F.col("cx"), F.col("cy"), zoom)).alias("cell_id"),
     )
     wcap = Window.partitionBy("cell_id", "name").orderBy("neighbor_id")
@@ -449,8 +467,9 @@ def knn_dup_names_capped_df(spark, docs, k: int = 5, zoom: int = CELL_ZOOM, cap:
         pts.select(
             F.col("doc_id").alias("neighbor_id"),
             F.col("name"),
-            F.col("lat").alias("lat_b"),
-            F.col("lon").alias("lon_b"),
+            F.col("rlat").alias("rlat_b"),
+            F.col("rlon").alias("rlon_b"),
+            F.col("clat").alias("clat_b"),
             (F.shiftleft(F.col("cx"), zoom) + F.col("cy")).alias("cell_id"),
         )
         .withColumn("rn", F.row_number().over(wcap))
@@ -461,7 +480,11 @@ def knn_dup_names_capped_df(spark, docs, k: int = 5, zoom: int = CELL_ZOOM, cap:
         F.col("doc_id") != F.col("neighbor_id")
     )
     dist = F.round(
-        haversine_km_col(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")), 6
+        geo.haversine_km_hoisted_col(
+            F.col("rlat_a"), F.col("rlon_a"), F.col("clat_a"),
+            F.col("rlat_b"), F.col("rlon_b"), F.col("clat_b"),
+        ),
+        6,
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("dist_km"), F.col("neighbor_id"))
     return (
