@@ -474,7 +474,9 @@ def minhash_sig_table(spark, sf_dir: str):
     )
 
 
-def verified_pairs_skinny_fetch(sig, threshold: float, sig_b=None, any_order: bool = False):
+def verified_pairs_skinny_fetch(
+    sig, threshold: float, sig_b=None, any_order: bool = False, broadcast_b: bool = False
+):
     """Candidate generation with a SKINNY band shuffle (r6): the band
     self-join carries only (band_key, doc_id) — 16 bytes/row — and the
     fat hashed-shingle sets are fetched BY doc_id for the few surviving
@@ -499,6 +501,19 @@ def verified_pairs_skinny_fetch(sig, threshold: float, sig_b=None, any_order: bo
     needs, where a pair's smaller member may be the one that arrives last
     (``..streaming.stream.stream_near_dup_pairs_incremental``).
 
+    ``broadcast_b=True`` (r8, VERDICT r7 item 1): for two-sided calls
+    whose b-side is a MICRO-BATCH (tiny by construction), broadcast the
+    arrivals' exploded band keys and stream the a-side (the full
+    signature store) through a BroadcastHashJoin probe — the store is
+    scanned (column-pruned to 16 B/row) but never SHUFFLED, so per-batch
+    cost drops from O(|store| shuffle) to O(|store| scan). The surviving
+    candidate set (small) is likewise broadcast into the two shingle
+    fetch joins, so the store-side fetches are streaming hash probes
+    too: the whole micro-batch pass is exchange-free on the store side
+    (plan-asserted in tests). The default SHUFFLE_HASH path is unchanged
+    for the batch/self-join faces, where both sides are
+    corpus-proportional and a broadcast would not fit.
+
     Same output contract: (doc_id_a, doc_id_b, jaccard ≥ threshold)."""
     from pyspark.sql import functions as F
 
@@ -509,7 +524,10 @@ def verified_pairs_skinny_fetch(sig, threshold: float, sig_b=None, any_order: bo
     b_band = right_sig.select(
         F.col("doc_id").alias("doc_id_b"), F.explode(_band_keys_col()).alias("band_key")
     )
-    raw = a_band.join(b_band.hint("SHUFFLE_HASH"), "band_key")
+    if broadcast_b:
+        raw = a_band.join(F.broadcast(b_band), "band_key")
+    else:
+        raw = a_band.join(b_band.hint("SHUFFLE_HASH"), "band_key")
     if any_order:
         oriented = raw.filter(F.col("doc_id_a") != F.col("doc_id_b")).select(
             F.least("doc_id_a", "doc_id_b").alias("doc_id_a"),
@@ -520,6 +538,8 @@ def verified_pairs_skinny_fetch(sig, threshold: float, sig_b=None, any_order: bo
             "doc_id_a", "doc_id_b"
         )
     cand = oriented.distinct()
+    if broadcast_b:
+        cand = F.broadcast(cand)
     sh_a = sig.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles_h").alias("sh_a"))
     # after any_order canonicalization either member may be a doc that is
     # only in the a-side frame, so the b-fetch must also hit the full frame
@@ -709,24 +729,20 @@ def simhash_near_dup_pairs_from(sig):
 
       * cross pairs — one sig pair (s_a < s_b, ham ≤ r) × ids_a × ids_b,
         canonicalized to (least, greatest);
-      * within pairs — identical-signature clusters (ham = 0) expand
-        combinatorially with ``id_a < id_b``.
+      * within pairs — identical-signature clusters join the SAME
+        expansion as self sig pairs (s, s, ham = 0) with an
+        ``id_a < id_b`` gate (one pipeline, no separate union branch).
 
     Every doc has exactly one signature, so a doc pair maps to exactly
     one unordered sig pair (or one cluster) — the expansion introduces
-    no duplicates and the union equals the doc-level distinct join
-    row-for-row. Why it matters: natural text clusters on identical
-    signatures, so doc-level band buckets go quadratic in cluster size
-    (measured sf1.0: 62k docs / 37k distinct sigs, hottest (band,
-    bucket) held 19,264 DOCS but only 4,208 sigs — ~703M doc-level
-    candidate pairs vs ~61M sig-level, 11×; the old shape benched 7.1 s,
-    this one ~2 s). The grouped frame is also the only subtree the
-    recompute face's pandas-UDF signature pass feeds, and every consumer
-    (both join sides, both expansion fetches) hangs off the SAME
-    ``groupBy(simhash)`` exchange, which Spark's ReuseExchange
-    deduplicates — the UDF executes once, not once per side as the old
-    self-join did. A pair agreeing on several bands is deduped by the
-    sig-pair ``distinct`` (tiny: pairs surviving the hamming filter)."""
+    no duplicates and equals the doc-level distinct join row-for-row.
+    Why it matters: natural text clusters on identical signatures, so
+    doc-level band buckets go quadratic in cluster size (measured sf1.0:
+    62k docs / 37k distinct sigs, hottest (band, bucket) held 19,264
+    DOCS but only 4,208 sigs — ~703M doc-level candidate pairs vs ~61M
+    sig-level, 11×; the old shape benched 7.1 s, this one ~2 s). A pair
+    agreeing on several bands is deduped by the sig-pair ``distinct``
+    (tiny: pairs surviving the hamming filter)."""
     from pyspark.sql import functions as F
 
     n_parts = int(sig.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -736,10 +752,20 @@ def simhash_near_dup_pairs_from(sig):
     # expansion would run nearly single-threaded. An explicit repartition
     # is exempt from AQE coalescing and pins full task parallelism; the
     # exchange itself moves ~16 B/doc.
+    # One aggregation pass, shared by all five consumers: collect_list is
+    # non-deterministic, which BLOCKS exchange reuse — without the plan
+    # cut the scan+agg subtree (and the pandas-UDF pass above it on the
+    # recompute face) re-executes once per consumer (measured: 3 × 27-task
+    # jobs at sf0.1). The frame is 16 B + ids per distinct sig, so the
+    # lazy localCheckpoint is ~free and per-plan (nothing crosses runs).
+    # Keyless repartition first: a simhash-keyed one would collapse into
+    # the agg exchange and AQE-coalesce to ~1 partition, serializing the
+    # 60M-candidate band-join probe (measured: 2.4 s → 12.7 s).
     groups = (
         sig.groupBy("simhash")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .repartition(n_parts)  # keyless: a simhash-keyed repartition would collapse into the agg exchange and AQE-coalesce to ~1 partition
+        .repartition(n_parts)
+        .localCheckpoint(eager=False)
     )
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = F.array(
@@ -752,12 +778,21 @@ def simhash_near_dup_pairs_from(sig):
     left = b.select("band", "bucket", F.col("simhash").alias("s_a"))
     right = b.select("band", "bucket", F.col("simhash").alias("s_b"))
     ham = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
-    sig_pairs = (
+    cross_pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("s_a") < F.col("s_b"))
         .select("s_a", "s_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_R)
         .distinct()
+    )
+    # identical-signature clusters enter the same expansion as self pairs
+    self_pairs = groups.filter(F.size("ids") > 1).select(
+        F.col("simhash").alias("s_a"),
+        F.col("simhash").alias("s_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    sig_pairs = (
+        cross_pairs.unionByName(self_pairs)
         .repartition(n_parts)  # same AQE-coalesce guard for the expansion probe
     )
     ga = groups.select(F.col("simhash").alias("s_a"), F.col("ids").alias("ids_a"))
@@ -765,49 +800,36 @@ def simhash_near_dup_pairs_from(sig):
     # explode ids_a first, then ROUND-ROBIN repartition before the second
     # explode: all rows of one sig pair land in one task after the first
     # explode, and a hot pair (big cluster × big cluster) would otherwise
-    # expand single-threaded (guide §2.5 — explode skew).
-    cross = (
+    # expand single-threaded (guide §2.5 — explode skew). Self pairs emit
+    # each unordered doc pair twice through the double explode, so they
+    # keep only the ``id_a < id_b`` orientation; cross pairs emit each
+    # combination once and canonicalize via least/greatest.
+    return (
         sig_pairs.join(ga, "s_a")
         .join(gb, "s_b")
-        .select(F.explode("ids_a").alias("id_a"), "ids_b", "hamming")
+        .select(
+            F.explode("ids_a").alias("id_a"),
+            "ids_b",
+            "hamming",
+            (F.col("s_a") == F.col("s_b")).alias("self"),
+        )
         .repartition(n_parts)
-        .select("id_a", F.explode("ids_b").alias("id_b"), "hamming")
+        .select("id_a", F.explode("ids_b").alias("id_b"), "hamming", "self")
+        .filter(~F.col("self") | (F.col("id_a") < F.col("id_b")))
         .select(
             F.least("id_a", "id_b").alias("doc_id_a"),
             F.greatest("id_a", "id_b").alias("doc_id_b"),
             "hamming",
         )
     )
-    within = (
-        groups.filter(F.size("ids") > 1)
-        .select(F.explode("ids").alias("id_a"), "ids")
-        .repartition(n_parts)
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            F.col("id_a").alias("doc_id_a"),
-            F.col("id_b").alias("doc_id_b"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
-    )
-    return cross.unionByName(within)
 
 
 def simhash_near_dups_df(spark, sf_dir: str):
     """SimHash near-dup pairs (doc_id_a, doc_id_b, hamming) with exact
-    recall at hamming ≤ r — see :func:`simhash_near_dup_pairs_from`.
-
-    The signature frame is lazily ``localCheckpoint``-ed first: the
-    sig-level pair machinery hangs five consumers off it, and without the
-    plan cut the pandas-UDF signature pass re-executes per consumer
-    (measured r8 at sf1.0: 7.0 s → 5.3 s with the cut). Unlike the FAT
-    shingle frames where r5 measured checkpointing a loss, the simhash
-    frame is 16 bytes/doc — serializing it is ~free. Within-query only:
-    every fresh plan builds (and computes) its own checkpoint, so no
-    state crosses bench runs."""
-    return simhash_near_dup_pairs_from(
-        simhash_df(spark, sf_dir).localCheckpoint(eager=False)
-    )
+    recall at hamming ≤ r — see :func:`simhash_near_dup_pairs_from`
+    (whose grouped-signature checkpoint also makes the pandas-UDF
+    signature pass execute exactly once per query)."""
+    return simhash_near_dup_pairs_from(simhash_df(spark, sf_dir))
 
 
 #: bump when the simhash derivation changes (invalidates stored tables).
@@ -860,6 +882,18 @@ def sql_simhash_near_dups() -> str:
 
 
 # ------------------------------------------------ embedding-cosine near-dup
+#: planted emb-dup derivation constants (ADVICE r7: hoisted so the stored
+#: bucket table's cache key can fold them — editing a perturbation constant
+#: must invalidate the on-disk table, mirroring CORPUS_TAG for the text
+#: signature keys). One definition, both engines.
+EMB_DUP_MOD = 5
+EMB_DUP_OFFSET = 1_000_000
+EMB_DUP_SCALE = 1.05
+
+#: folded into the emb_buckets_ cache key next to the plane params.
+EMB_DUP_TAG = _derivation_tag(EMB_DUP_MOD, EMB_DUP_OFFSET, EMB_DUP_SCALE)
+
+
 def with_emb_dups_df(spark, sf_dir: str):
     """embeddings ∪ perturbed copies (vec_id%5==0, dim 0 scaled by 1.05,
     id offset +10^6) — deterministic live positives for near-dup ops."""
@@ -868,10 +902,11 @@ def with_emb_dups_df(spark, sf_dir: str):
     from .similarity import EMB_DIM, _emb_spread
 
     emb = _emb_spread(spark, sf_dir)
-    perturbed = emb.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
+    perturbed = emb.filter(F.col("vec_id") % EMB_DUP_MOD == 0).select(
+        (F.col("vec_id") + EMB_DUP_OFFSET).alias("vec_id"),
         F.concat(
-            F.array(F.element_at(F.col("v"), 1) * 1.05), F.slice(F.col("v"), 2, EMB_DIM - 1)
+            F.array(F.element_at(F.col("v"), 1) * EMB_DUP_SCALE),
+            F.slice(F.col("v"), 2, EMB_DIM - 1),
         ).alias("v"),
     )
     return emb.unionByName(perturbed)
@@ -880,9 +915,10 @@ def with_emb_dups_df(spark, sf_dir: str):
 def sql_with_emb_dups() -> str:
     return (
         "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
-        "UNION ALL SELECT vec_id + 1000000 AS vec_id, "
-        "list_concat([v[1] * 1.05], v[2:]) AS v "
-        "FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) WHERE vec_id % 5 = 0"
+        f"UNION ALL SELECT vec_id + {EMB_DUP_OFFSET} AS vec_id, "
+        f"list_concat([v[1] * {EMB_DUP_SCALE}], v[2:]) AS v "
+        "FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) "
+        f"WHERE vec_id % {EMB_DUP_MOD} = 0"
     )
 
 
@@ -1033,7 +1069,8 @@ def emb_bucket_table(spark, sf_dir: str):
     key = os.path.basename(os.path.normpath(sf_dir))
     tbl = catalog.cached_table(
         spark,
-        f"emb_buckets_{key}_{EMB_BUCKET_VERSION}_p{n_planes}s{N_PLANE_SETS}_{emb_fingerprint(path)}",
+        f"emb_buckets_{key}_{EMB_BUCKET_VERSION}_{EMB_DUP_TAG}"
+        f"_p{n_planes}s{N_PLANE_SETS}_{emb_fingerprint(path)}",
         build,
     )
     return tbl, n_planes
@@ -1281,10 +1318,9 @@ def dedup_components_multi_df(spark, sf_dir: str):
     O(log n) rounds in the size of the LARGEST merged component.
     """
     mh = minhash_lsh_pairs_df(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    # same skinny-frame plan cut as simhash_near_dups_df (UDF once)
-    sh = simhash_near_dup_pairs_from(
-        simhash_df(spark, sf_dir).localCheckpoint(eager=False)
-    ).select("doc_id_a", "doc_id_b")
+    sh = simhash_near_dup_pairs_from(simhash_df(spark, sf_dir)).select(
+        "doc_id_a", "doc_id_b"
+    )
     return components_from(mh.unionByName(sh))
 
 

@@ -441,6 +441,30 @@ def centroid_scores_col(v, centroids: list[list[float]] | None = None):
     return F.zip_with(cb, norms, lambda c, nm: F.round(_dot(v, c) / nm, 6))
 
 
+def _probe_cells_col(cscores, n_probe: int = None):
+    """Array of the 1-based cells of the top-``n_probe`` centroid scores,
+    ordered by (score desc, position asc) — the EXACT selection the old
+    posexplode + row_number window made, computed per row with array ops
+    instead (r8, guide §2.4: the window's exchange + sort was a whole
+    extra job chain per IVF query batch for a 16-element ranking). The
+    comparator reproduces the window's tie-break: rounded scores compare
+    exactly, ties fall to the smaller position."""
+    from pyspark.sql import functions as F
+
+    n_probe = N_PROBE if n_probe is None else n_probe
+    idx = F.sequence(F.lit(1), F.size(cscores))
+    pairs = F.zip_with(
+        cscores, idx, lambda s, p: F.struct(s.alias("score"), p.alias("pos"))
+    )
+    srt = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["score"] > b["score"], F.lit(-1))
+        .when(a["score"] < b["score"], F.lit(1))
+        .otherwise(a["pos"] - b["pos"]),
+    )
+    return F.transform(F.slice(srt, 1, n_probe), lambda x: x["pos"])
+
+
 def ann_ivf_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
     """IVF-style ANN: corpus vectors are assigned to their best of 16
     DATA-DERIVED centroids (:func:`data_centroids`; one shuffle on the
@@ -462,19 +486,14 @@ def ann_ivf_topk_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIE
         _norm(F.col("v")).alias("vn"),
         F.array_position(F.col("cscores"), F.array_max("cscores")).alias("cell"),
     )
-    # queries: top-N_PROBE centroids each (explode + window — engine-robust
-    # top-n; an array-sort top-n would tie-break differently across engines)
-    qs = scored.filter(F.col("vec_id") < n_queries).select(
+    # queries: top-N_PROBE centroids each via per-row array top-n
+    # (_probe_cells_col) — same (score desc, pos asc) selection as the
+    # old posexplode+window, without the window's exchange + sort job
+    probes = scored.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         _norm(F.col("v")).alias("qn"),
-        F.posexplode("cscores").alias("pos", "score"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("pos"))
-    probes = (
-        qs.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= N_PROBE)
-        .select("query_id", "qv", "qn", (F.col("pos") + 1).alias("cell"))
+        F.explode(_probe_cells_col(F.col("cscores"))).alias("cell"),
     )
     cand = corpus.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
@@ -558,17 +577,11 @@ def ann_ivf_topk_stored_df(spark, sf_dir: str, k: int = TOPK, n_queries: int = N
         .filter(F.col("vec_id") < n_queries)
         .select("vec_id", _to_double(F.col("embedding")).alias("v"))
     )
-    qs = queries.select(
+    probes = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         _norm(F.col("v")).alias("qn"),
-        F.posexplode(centroid_scores_col(F.col("v"), cents)).alias("pos", "score"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("pos"))
-    probes = (
-        qs.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= N_PROBE)
-        .select("query_id", "qv", "qn", (F.col("pos") + 1).alias("cell"))
+        F.explode(_probe_cells_col(centroid_scores_col(F.col("v"), cents))).alias("cell"),
     )
     cand = corpus.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
@@ -1032,8 +1045,25 @@ def sql_ann_pq_topk(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
     """
 
 
+#: resumable_pq_screen bucket sizing (ADVICE r7): each bucket's queries
+#: ride into pq_topk_frames as a BROADCAST (per-query LUT frame + the qv
+#: fetch), so queries-per-bucket must stay bounded as the corpus grows —
+#: a fixed default n_buckets would make broadcast size linear in corpus.
+PQ_SCREEN_QUERIES_PER_BUCKET = 4096
+
+
+def pq_screen_buckets_for(n_vectors: int, floor: int = 8) -> int:
+    """Bucket count for the full-corpus screen: enough buckets that each
+    holds ≲ :data:`PQ_SCREEN_QUERIES_PER_BUCKET` queries, never fewer
+    than ``floor`` (resume granularity)."""
+    import math
+
+    return max(floor, math.ceil(n_vectors / PQ_SCREEN_QUERIES_PER_BUCKET))
+
+
 def resumable_pq_screen(
-    spark, sf_dir: str, out_dir: str, n_buckets: int = 8, k: int = TOPK, fail_after=None
+    spark, sf_dir: str, out_dir: str, n_buckets: int | None = None, k: int = TOPK,
+    fail_after=None,
 ):
     """Full-corpus PQ self-screen, resumable by QUERY bucket — the ops
     story behind "re-screen everything we ever ingested": every corpus
@@ -1050,8 +1080,16 @@ def resumable_pq_screen(
     Returns the number of buckets processed this run."""
     from pyspark.sql import functions as F
 
+    from ..sources.catalog import parquet_row_count
     from ..streaming.resume import run_resumable
 
+    if n_buckets is None:
+        # derive from corpus size so each bucket's broadcast query frame
+        # stays bounded (ADVICE r7); explicit n_buckets still honored for
+        # tests / callers that pin resume granularity
+        n_buckets = pq_screen_buckets_for(
+            parquet_row_count(f"{sf_dir}/embeddings.parquet")
+        )
     cents = data_centroids(spark, sf_dir)
     encoded = pq_code_table(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(

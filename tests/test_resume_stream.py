@@ -307,10 +307,14 @@ def test_streaming_media_features_equals_batch(spark, tmp_path):
     n1 = stream.stream_media_features(spark, src, out, ckpt)
     assert n1 >= 2
 
+    batch_df = media.media_features_from(payloads)
+    # select the feature columns by name: the idempotent sink surfaces its
+    # batch_id= partition directory as an extra discovered column
     streamed = sorted(
-        tuple(r) for r in spark.read.parquet(f"{out}/features").collect()
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/features").select(batch_df.columns).collect()
     )
-    batch = sorted(tuple(r) for r in media.media_features_from(payloads).collect())
+    batch = sorted(tuple(r) for r in batch_df.collect())
     assert streamed == batch
     widths = {r[0]: (r[3], r[4]) for r in streamed}
     assert widths["d1"] == (40, 30) and widths["d3"] == (7, 9)  # real decode streamed
@@ -766,3 +770,45 @@ def test_resumable_pq_screen_kill_and_resume(spark, tmp_path):
 
     # a third run finds nothing to do
     assert similarity.resumable_pq_screen(spark, SF_SMALL, out, n_buckets=8) == 0
+
+
+def test_incremental_pair_join_streams_the_store_without_shuffle(spark):
+    """r8 (VERDICT r7 item 1): with ``broadcast_b=True`` — the incremental
+    streaming mode — the micro-batch pair pass must BROADCAST the
+    arrivals' band keys and stream the signature store through
+    BroadcastHashJoin probes: no ShuffledHashJoin/SortMergeJoin anywhere,
+    so the store side is scanned (column-pruned) but never exchanged."""
+    from pyspark.sql import functions as F
+
+    from serbian_osm_lint_spark.operators import dedup
+
+    sig = dedup.minhash_sig_table(spark, SF_SMALL)
+    arrivals = sig.limit(3)
+    df = dedup.verified_pairs_skinny_fetch(
+        sig, dedup.JACCARD_THRESHOLD, sig_b=arrivals, any_order=True, broadcast_b=True
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan
+    # same verified pairs as the shuffle path over the same frames
+    shuffled = dedup.verified_pairs_skinny_fetch(
+        sig, dedup.JACCARD_THRESHOLD, sig_b=arrivals, any_order=True
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, shuffled.collect()))
+
+
+def test_idempotent_sink_retry_overwrites_not_appends(spark, tmp_path):
+    """VERDICT r7 item 3: a RETRIED micro-batch (same batch_id) must
+    replace its own output, not double-append — covers the lint and
+    media sink unification on write_batch_idempotent."""
+    from serbian_osm_lint_spark.streaming.stream import write_batch_idempotent
+
+    out = str(tmp_path / "sink")
+    rows = spark.range(10).withColumnRenamed("id", "doc_id")
+    write_batch_idempotent(rows, out, 7)
+    write_batch_idempotent(rows, out, 7)  # the retry
+    assert spark.read.parquet(out).count() == 10
+    write_batch_idempotent(rows, out, 8)  # a new batch still appends
+    assert spark.read.parquet(out).count() == 20
