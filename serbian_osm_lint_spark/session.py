@@ -63,7 +63,13 @@ def get_spark(
             f"-XX:ActiveProcessorCount={cpus} {g1}",
         )
     else:
+        # default heap scales with task slots (0.5 GB/core — what a real
+        # 32-core executor slice would get), not a constant: the r4-era 8g
+        # was sized at sf0.1, and the kNN window sort's volume grows
+        # quadratically with the corpus (the 100×-proxy harness already
+        # needs 24g). SPARK_DRIVER_MEM still overrides.
+        default_mem = f"{max(8, cpus // 2)}g"
         builder = builder.config(
-            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g")
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", default_mem)
         ).config("spark.driver.extraJavaOptions", g1)
     return builder.getOrCreate()
